@@ -1,0 +1,30 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before the first `import jax` anywhere in the test
+process, so this lives at conftest import time.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize force-registers the 'axon' TPU backend and
+# overrides jax_platforms at interpreter startup; undo it so tests run on the
+# virtual 8-device CPU mesh regardless.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
