@@ -1,0 +1,141 @@
+"""U-Net style conv encoder-decoder backbone, parameterized over the
+A/B/C variants of the reference (models/FAL_netA.py / FAL_netB.py /
+FAL_netC.py) instead of three near-duplicate files.
+
+Channel specs (verified against the reference by CPU instantiation):
+
+  variant | encoder conv1..conv6            | deconv6..1              | iconv6..2
+  --------+---------------------------------+-------------------------+---------------------
+  A       | 64 128 128 256 256 256          | 128 128 128  64 64 64   | 256 256 128 128 64
+  B       | 64 128 256 256 256 512          | 256 128 128 128 64 64   | 256 256 256 128 64
+  C       | 64 128 256 256 512 512          | 256 256 128 128 64 64   | 512 256 256 128 64
+
+conv0 is always 3->32 stride 1; a 1-channel "flow" conditioning plane is
+concatenated before conv1 (FAL_netB.py:101,145); each encoder conv is
+followed by a residual block (separable k x 1 / 1 x k pairs for variant A).
+The final iconv1 is a bias-free 3x3 conv emitting ``num_out`` plane logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fal_net_tpu.models.layers import ConvElu, Deconv, ResidualBlock, kaiming_normal
+
+
+@dataclasses.dataclass(frozen=True)
+class VariantSpec:
+    name: str
+    enc: Tuple[int, ...]  # conv1..conv6 output channels
+    deconv: Tuple[int, ...]  # deconv6..deconv1 output channels
+    iconv: Tuple[int, ...]  # iconv6..iconv2 output channels
+    separable_residual: bool
+    default_levels: int
+    has_amask: bool  # reference declares (but never calls) an amask head;
+    #                  its params still count toward checkpoint parity
+    torch_backbone_key: str  # attribute name in reference checkpoints
+    torch_name: str  # reference factory name stored in checkpoints
+
+
+VARIANTS = {
+    "A": VariantSpec(
+        name="A",
+        enc=(64, 128, 128, 256, 256, 256),
+        deconv=(128, 128, 128, 64, 64, 64),
+        iconv=(256, 256, 128, 128, 64),
+        separable_residual=True,
+        default_levels=33,
+        has_amask=False,
+        torch_backbone_key="BackBone",
+        torch_name="FAL_netA",
+    ),
+    "B": VariantSpec(
+        name="B",
+        enc=(64, 128, 256, 256, 256, 512),
+        deconv=(256, 128, 128, 128, 64, 64),
+        iconv=(256, 256, 256, 128, 64),
+        separable_residual=False,
+        default_levels=49,
+        has_amask=True,
+        torch_backbone_key="backbone",
+        torch_name="FAL_netB",
+    ),
+    "C": VariantSpec(
+        name="C",
+        enc=(64, 128, 256, 256, 512, 512),
+        deconv=(256, 256, 128, 128, 64, 64),
+        iconv=(512, 256, 256, 128, 64),
+        separable_residual=False,
+        default_levels=33,
+        has_amask=True,
+        torch_backbone_key="synth",
+        torch_name="FAL_netC",
+    ),
+}
+
+
+class FalNetBackbone(nn.Module):
+    """Encoder-decoder emitting ``num_out`` disparity-plane logits (NHWC)."""
+
+    spec: VariantSpec
+    num_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+        spec = self.spec
+        rb = lambda name: ResidualBlock(
+            separable=spec.separable_residual, dtype=self.dtype, name=name
+        )
+
+        # Encoder: 6 stride-2 stages, each followed by a residual block.
+        x0 = rb("rb0")(ConvElu(32, dtype=self.dtype, name="conv0")(image))
+        x = jnp.concatenate([x0, flow.astype(x0.dtype)], axis=-1)
+        skips = [x0]
+        for i, ch in enumerate(spec.enc, start=1):
+            x = ConvElu(ch, stride=2, dtype=self.dtype, name=f"conv{i}")(x)
+            x = rb(f"rb{i}")(x)
+            skips.append(x)
+        # skips = [x0, x1, ..., x6]; bottleneck is skips[6] at 1/64 res.
+
+        # Decoder: upsample-to-skip + concat(deconv_out, skip) + fuse.
+        y = skips[6]
+        for j in range(6, 1, -1):  # deconv6..deconv2 fuse with skips 5..1
+            skip = skips[j - 1]
+            d = Deconv(spec.deconv[6 - j], dtype=self.dtype, name=f"deconv{j}")(
+                y, (skip.shape[-3], skip.shape[-2])
+            )
+            y = ConvElu(spec.iconv[6 - j], dtype=self.dtype, name=f"iconv{j}")(
+                jnp.concatenate([d, skip], axis=-1)
+            )
+
+        d1 = Deconv(spec.deconv[5], dtype=self.dtype, name="deconv1")(
+            y, (x0.shape[-3], x0.shape[-2])
+        )
+        concat1 = jnp.concatenate([d1, x0], axis=-1)
+        logits = nn.Conv(
+            self.num_out,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            kernel_init=kaiming_normal,
+            dtype=self.dtype,
+            name="iconv1",
+        )(concat1)
+
+        if spec.has_amask:
+            # The reference constructs an occlusion-mask head that forward()
+            # never invokes (FAL_netB.py:128, predict_amask:83-89).  Its
+            # parameters still live in every shipped checkpoint, so declare
+            # them for state-dict and parameter-count parity without paying
+            # any compute.
+            cin = concat1.shape[-1]
+            self.param("amask_conv1_kernel", kaiming_normal, (3, 3, cin, cin // 2))
+            self.param("amask_conv1_bias", nn.initializers.zeros, (cin // 2,))
+            self.param("amask_conv2_kernel", kaiming_normal, (3, 3, cin // 2, 1))
+
+        return logits

@@ -1,0 +1,91 @@
+"""FAL-net: backbone + MED probability-volume head.
+
+Functional port of the reference head (models/FAL_netB.py:179-297):
+  * "flow" conditioning plane = max_disp/100 broadcast over HxW
+    (FAL_netB.py:208-209) tells the net the disparity scale.
+  * an extra 1x1 conv on the logits ("not shown in paper",
+    FAL_netB.py:190-192).
+  * MED volume outputs via :func:`fal_net_tpu.ops.med.med_outputs`.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fal_net_tpu.models.backbone import FalNetBackbone, VariantSpec, VARIANTS
+from fal_net_tpu.models.layers import kaiming_normal
+from fal_net_tpu.ops.med import MedOutputs, med_outputs
+
+
+class FalNet(nn.Module):
+    spec: VariantSpec
+    num_levels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        left: jax.Array,
+        min_disp: Union[float, jax.Array],
+        max_disp: Union[float, jax.Array],
+        *,
+        ret_disp: bool = True,
+        ret_pan: bool = False,
+        ret_subocc: bool = False,
+    ) -> MedOutputs:
+        b, h, w, _ = left.shape
+        max_arr = jnp.asarray(max_disp, jnp.float32)
+        flow = jnp.broadcast_to(
+            (max_arr / 100.0).reshape((-1,) + (1,) * 3).astype(left.dtype),
+            (b, h, w, 1),
+        )
+        dlog = FalNetBackbone(
+            self.spec, num_out=self.num_levels, dtype=self.dtype, name="backbone"
+        )(left, flow)
+        logits = nn.Conv(
+            self.num_levels,
+            (1, 1),
+            use_bias=True,
+            kernel_init=kaiming_normal,
+            dtype=self.dtype,
+            name="logits_1x1",
+        )(dlog)
+        # The MED head runs in fp32 regardless of backbone compute dtype:
+        # softmax over 49 planes and the disparity expectation are cheap and
+        # precision-sensitive.
+        return med_outputs(
+            logits.astype(jnp.float32),
+            left.astype(jnp.float32),
+            min_disp,
+            max_disp,
+            ret_disp=ret_disp,
+            ret_pan=ret_pan,
+            ret_subocc=ret_subocc,
+        )
+
+
+def create_model(
+    variant: str = "B",
+    num_levels: int | None = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> FalNet:
+    """Build a FAL-net variant ('A' | 'B' | 'C', or reference names like
+    'FAL_netB')."""
+    key = variant
+    if key not in VARIANTS:
+        for spec in VARIANTS.values():
+            if spec.torch_name == variant:
+                key = spec.name
+                break
+    if key not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; have {sorted(VARIANTS)}")
+    spec = VARIANTS[key]
+    return FalNet(
+        spec=spec,
+        num_levels=num_levels if num_levels is not None else spec.default_levels,
+        dtype=dtype,
+    )

@@ -1,0 +1,113 @@
+"""Model parity vs the reference PyTorch implementation (CPU).
+
+The reference models can be instantiated and run on CPU as long as only
+``ret_disp`` is requested (the MED warp loop hard-codes ``.cuda()`` at
+FAL_netB.py:231, but the disp-only path returns before reaching it).  We:
+  1. instantiate the reference with random kaiming init,
+  2. port its state_dict through our converter,
+  3. compare fp32 forward outputs.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fal_net_tpu.models import create_model, VARIANTS
+from fal_net_tpu.models.torch_import import convert_state_dict, detect_variant
+
+torch = pytest.importorskip("torch")
+
+REFERENCE = "/root/reference"
+
+EXPECTED_PARAM_COUNTS = {  # verified by CPU instantiation of the reference
+    ("A", 33): 6_582_530,
+    ("B", 49): 16_974_354,
+    ("C", 33): 25_807_074,
+}
+
+
+def _load_reference_model(variant: str, num_levels: int):
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import importlib
+
+    mod = importlib.import_module(f"models.FAL_net{variant}")
+    factory = getattr(mod, f"FAL_net{variant}")
+    model = factory(None, no_levels=num_levels)
+    model.eval()
+    return model
+
+
+def _count_params(tree):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
+@pytest.mark.parametrize("variant,num_levels", [("A", 33), ("B", 49), ("C", 33)])
+def test_param_count_parity(variant, num_levels):
+    ref = _load_reference_model(variant, num_levels)
+    ref_count = sum(p.numel() for p in ref.parameters())
+    assert ref_count == EXPECTED_PARAM_COUNTS[(variant, num_levels)]
+
+    model = create_model(variant, num_levels)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        2.0,
+        300.0,
+        ret_disp=True,
+    )
+    assert _count_params(params) == ref_count
+
+
+@pytest.mark.parametrize("variant", ["A", "B", "C"])
+def test_forward_disp_parity(variant, rng):
+    num_levels = 9  # small plane count keeps the test fast; topology unchanged
+    ref = _load_reference_model(variant, num_levels)
+
+    state_dict = {k: v.numpy() for k, v in ref.state_dict().items()}
+    spec = detect_variant(state_dict)
+    assert spec.name == variant
+    params = {"params": convert_state_dict(state_dict)}
+
+    x = rng.standard_normal((1, 3, 64, 96)).astype(np.float32) * 0.3
+    min_disp, max_disp = 2.0, 300.0
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x),
+            torch.tensor([[[min_disp]]]),
+            torch.tensor([[[max_disp]]]),
+            ret_disp=True,
+            ret_pan=False,
+            ret_subocc=False,
+        ).numpy()
+
+    model = create_model(variant, num_levels)
+    out = model.apply(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), min_disp, max_disp, ret_disp=True
+    )
+    got = np.asarray(out.disp).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-3)
+
+
+def test_registry_names():
+    from fal_net_tpu.models import registry
+
+    for name in ("FAL_netA", "FAL_netB", "FAL_netC", "A", "B", "C"):
+        m = registry.get(name)
+        assert m.num_levels == VARIANTS[name[-1]].default_levels
+
+
+def test_all_outputs_shapes(rng):
+    model = create_model("B", 9)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, 2.0, 300.0, ret_disp=True)
+    out = model.apply(
+        variables, x, 2.0, 300.0, ret_disp=True, ret_pan=True, ret_subocc=True
+    )
+    assert out.disp.shape == (2, 32, 64, 1)
+    assert out.pan.shape == (2, 32, 64, 3)
+    assert out.maskL.shape == (2, 32, 64, 1)
+    assert out.maskR.shape == (2, 32, 64, 1)
