@@ -75,6 +75,19 @@ VARIANTS = {
         torch_backbone_key="synth",
         torch_name="FAL_netC",
     ),
+    # Dev/test-only variant: same topology, minimal widths. Not in the
+    # reference; used by smoke tests and examples to keep compiles fast.
+    "tiny": VariantSpec(
+        name="tiny",
+        enc=(8, 8, 8, 8, 8, 8),
+        deconv=(8, 8, 8, 8, 8, 8),
+        iconv=(8, 8, 8, 8, 8),
+        separable_residual=False,
+        default_levels=5,
+        has_amask=False,
+        torch_backbone_key="backbone",
+        torch_name="FAL_netTiny",
+    ),
 }
 
 

@@ -1,0 +1,69 @@
+"""Typed training configs, replacing the reference's four near-duplicated
+argparse blocks (Train_Stage1_K.py:30-70 etc.).  Defaults mirror the
+reference's shipped hyperparameters exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "B"
+    num_levels: int = 49
+    dataset: str = "Kitti"
+    data_root: str = ""
+    lists_dir: Optional[str] = None
+    crop_size: Tuple[int, int] = (192, 640)
+    batch_size: int = 8
+    workers: int = 4
+    epochs: int = 50
+    epoch_size: int = 0  # 0 = full epoch (Train_Stage1_K.py:34)
+    lr: float = 1e-4
+    beta1: float = 0.5  # adam 'momentum' (Train_Stage1_K.py:53)
+    beta2: float = 0.999
+    milestones: Tuple[int, ...] = (30, 40)
+    lr_gamma: float = 0.5
+    max_disp: float = 300.0
+    min_disp: float = 2.0
+    a_p: float = 0.01  # perceptual weight (Train_Stage1_K.py:43)
+    a_sm: float = 0.2 * 2 / 512  # smoothness weight (Train_Stage1_K.py:44)
+    fix_order: bool = True  # trainers always pass fix=True
+    seed: int = 0
+    save_path: str = "runs"
+    print_freq: int = 100
+    val_freq: int = 1
+    compute_dtype: str = "float32"  # or "bfloat16"
+    start_epoch: int = 0
+    pretrained: Optional[str] = None  # checkpoint to resume from
+    vgg_weights: Optional[str] = None  # torchvision vgg19 state_dict path
+
+    @property
+    def min_max_ratio(self) -> float:
+        return self.min_disp / self.max_disp
+
+
+@dataclasses.dataclass
+class Stage1Config(TrainConfig):
+    """Stage-1 defaults == TrainConfig defaults (Train_Stage1_K.py)."""
+
+    slow: bool = False  # True -> Train_Stage1_Kslow two-sided variant
+
+    def __post_init__(self):
+        if self.slow:
+            self.batch_size = 4  # Kslow default (Train_Stage1_Kslow.py:48)
+
+
+@dataclasses.dataclass
+class Stage2Config(TrainConfig):
+    """Stage-2 MOM distillation defaults (Train_Stage2_K.py:44-60)."""
+
+    lr: float = 5e-5
+    epochs: int = 20
+    milestones: Tuple[int, ...] = (5, 10)
+    batch_size: int = 4
+    a_sm: float = 0.4 * 2 / 512
+    a_mr: float = 1.0  # mirror-loss weight
+    fix_model: Optional[str] = None  # frozen stage-1 teacher checkpoint

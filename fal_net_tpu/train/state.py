@@ -1,0 +1,68 @@
+"""Train state: params + Adam + stepwise LR schedule.
+
+Matches the reference optimizer setup: Adam(betas=(0.5, 0.999))
+(Train_Stage1_K.py:52-54,180) with MultiStepLR x0.5 at the configured epoch
+milestones (Train_Stage1_K.py:55-56,181).  Unlike the reference, optimizer
+state IS checkpointed (reference gap: resume restarted Adam moments,
+SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def make_lr_schedule(
+    lr: float,
+    milestones: Sequence[int],
+    gamma: float,
+    steps_per_epoch: int,
+) -> optax.Schedule:
+    """Piecewise-constant epoch-milestone schedule (MultiStepLR semantics)."""
+    boundaries = {int(m) * steps_per_epoch: gamma for m in milestones}
+    return optax.piecewise_constant_schedule(lr, boundaries)
+
+
+def create_train_state(
+    model,
+    params,
+    *,
+    lr: float,
+    beta1: float,
+    beta2: float,
+    milestones: Sequence[int],
+    lr_gamma: float,
+    steps_per_epoch: int,
+    start_step: int = 0,
+) -> TrainState:
+    schedule = make_lr_schedule(lr, milestones, lr_gamma, steps_per_epoch)
+    tx = optax.adam(schedule, b1=beta1, b2=beta2)
+    import jax.numpy as jnp
+
+    state = TrainState(
+        step=jnp.asarray(start_step, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+    return state

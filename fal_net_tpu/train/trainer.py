@@ -1,0 +1,311 @@
+"""The training driver: one trainer, three stage strategies.
+
+Replaces the reference's three ~400-line scripts (Train_Stage1_K.py,
+Train_Stage1_Kslow.py, Train_Stage2_K.py) with one loop around the pure
+stage-loss functions.  The whole optimization step (forward, both losses,
+backward, Adam update) is ONE jitted function with donated state; batches
+arrive pre-sharded over the mesh's data axis and XLA inserts the gradient
+all-reduce.
+
+Validation mirrors Train_Stage1_K.py:279-347 (KITTI 2015): view-synthesis
+RMSE (checkpoint-selection metric), sparse realEPE, and the 7 KITTI depth
+metrics.  Best checkpoint = lowest pan RMSE, preserving the reference's
+selection semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fal_net_tpu.data import (
+    DataLoader,
+    default_train_transform,
+    kitti2015,
+    prefetch_to_device,
+)
+from fal_net_tpu.data.datasets import REGISTRY as DATASETS
+from fal_net_tpu.eval.metrics import (
+    KITTI_ERROR_NAMES,
+    compute_kitti_errors,
+    disps_to_depths_kitti2015,
+    image_rmse,
+)
+from fal_net_tpu.losses.epe import real_epe
+from fal_net_tpu.losses.vgg import init_vgg19, load_torch_vgg19
+from fal_net_tpu.models import create_model
+from fal_net_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from fal_net_tpu.train.checkpoint import load_checkpoint, load_params_any, save_checkpoint
+from fal_net_tpu.train.config import Stage2Config, TrainConfig
+from fal_net_tpu.train.stages import stage1_loss, stage1_slow_loss, stage2_loss
+from fal_net_tpu.train.state import TrainState, create_train_state
+from fal_net_tpu.utils.logging import MetricsLogger, dump_settings
+from fal_net_tpu.utils.meters import AverageMeter, MultiAverageMeter
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        stage: str = "stage1",
+        mesh: Optional[jax.sharding.Mesh] = None,
+        train_dataset=None,
+        val_dataset=None,
+    ):
+        assert stage in ("stage1", "stage1_slow", "stage2")
+        self.cfg = cfg
+        self.stage = stage
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        self.model = create_model(cfg.model, cfg.num_levels, dtype=self.dtype)
+        self._external_train = train_dataset
+        self._external_val = val_dataset
+        self.logger: Optional[MetricsLogger] = None
+        self._setup_done = False
+
+    # ------------------------------------------------------------------
+    def setup(self) -> None:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        sample = jnp.zeros((1, cfg.crop_size[0], cfg.crop_size[1], 3), jnp.float32)
+        variables = self.model.init(
+            rng, sample, cfg.min_disp, cfg.max_disp, ret_disp=True
+        )
+        if cfg.pretrained:
+            loaded, name, levels = load_params_any(cfg.pretrained)
+            variables = loaded
+        self.variables = variables
+
+        # Perceptual net (frozen).
+        if cfg.a_p > 0:
+            if cfg.vgg_weights:
+                self.vgg_model, self.vgg_params = load_torch_vgg19(cfg.vgg_weights)
+            else:
+                self.vgg_model, self.vgg_params = init_vgg19(seed=cfg.seed)
+        else:
+            self.vgg_model, self.vgg_params = None, None
+
+        # Stage-2 frozen teacher.
+        self.teacher_model = self.teacher_params = None
+        if self.stage == "stage2":
+            assert isinstance(cfg, Stage2Config) and cfg.fix_model, (
+                "stage2 requires cfg.fix_model (frozen stage-1 teacher checkpoint)"
+            )
+            t_vars, t_name, t_levels = load_params_any(cfg.fix_model)
+            self.teacher_model = create_model(
+                t_name or cfg.model, t_levels or cfg.num_levels, dtype=self.dtype
+            )
+            self.teacher_params = t_vars
+
+        # Data.
+        if self._external_train is not None:
+            train_ds = self._external_train
+        else:
+            train_ds, _ = DATASETS[cfg.dataset](
+                cfg.data_root,
+                split=1,
+                co_transform=default_train_transform(cfg.crop_size),
+                max_pix=cfg.max_disp,
+                fix=cfg.fix_order,
+                lists_dir=cfg.lists_dir,
+            )
+        self.train_loader = DataLoader(
+            train_ds,
+            batch_size=cfg.batch_size,
+            shuffle=True,
+            num_workers=cfg.workers,
+            seed=cfg.seed,
+        )
+        self.val_dataset = self._external_val
+
+        steps_per_epoch = len(self.train_loader)
+        if cfg.epoch_size:
+            steps_per_epoch = min(steps_per_epoch, cfg.epoch_size)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.state = create_train_state(
+            self.model,
+            self.variables,
+            lr=cfg.lr,
+            beta1=cfg.beta1,
+            beta2=cfg.beta2,
+            milestones=cfg.milestones,
+            lr_gamma=cfg.lr_gamma,
+            steps_per_epoch=steps_per_epoch,
+            start_step=cfg.start_epoch * steps_per_epoch,
+        )
+
+        # Replicate state/constants over the mesh; shard batches on 'data'.
+        rep = replicate_sharding(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+        if self.vgg_params is not None:
+            self.vgg_params = jax.device_put(self.vgg_params, rep)
+        if self.teacher_params is not None:
+            self.teacher_params = jax.device_put(self.teacher_params, rep)
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        self.train_step = self._build_train_step()
+        self._setup_done = True
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch, vgg_params, teacher_params):
+        cfg = self.cfg
+        vgg_fn = None
+        if self.vgg_model is not None and vgg_params is not None:
+            vgg_fn = lambda im: self.vgg_model.apply(vgg_params, im)
+        common = dict(
+            min_disp=cfg.min_disp,
+            max_disp=cfg.max_disp,
+            a_p=cfg.a_p,
+            a_sm=cfg.a_sm,
+            vgg_fn=vgg_fn,
+        )
+        if self.stage == "stage1":
+            return stage1_loss(params, batch, self.model.apply, **common)
+        if self.stage == "stage1_slow":
+            return stage1_slow_loss(params, batch, self.model.apply, **common)
+        return stage2_loss(
+            params,
+            batch,
+            self.model.apply,
+            self.teacher_model.apply,
+            teacher_params,
+            a_mr=cfg.a_mr,  # type: ignore[attr-defined]
+            **common,
+        )
+
+    def _build_train_step(self):
+        def step(state: TrainState, batch, vgg_params, teacher_params):
+            grad_fn = jax.value_and_grad(
+                lambda p: self._loss_fn(p, batch, vgg_params, teacher_params),
+                has_aux=True,
+            )
+            (loss, aux), grads = grad_fn(state.params)
+            new_state = state.apply_gradients(grads)
+            return new_state, aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def fit(self, save_path: Optional[str] = None) -> Dict[str, Any]:
+        if not self._setup_done:
+            self.setup()
+        cfg = self.cfg
+        save_path = save_path or os.path.join(
+            cfg.save_path,
+            f"{cfg.dataset}_{self.stage}",
+            f"{cfg.model},e{cfg.epochs}es,b{cfg.batch_size},lr{cfg.lr}",
+        )
+        dump_settings(save_path, cfg)
+        self.logger = MetricsLogger(save_path)
+
+        best_rmse = -1.0
+        history = []
+        for epoch in range(cfg.start_epoch, cfg.epochs):
+            train_metrics = self.train_epoch(epoch)
+            val_metrics = {}
+            if self.val_dataset is not None and (epoch % cfg.val_freq == 0):
+                val_metrics = self.validate(self.val_dataset)
+                self.logger.scalars(epoch, val_metrics, prefix="val/")
+            rmse = val_metrics.get("rmse", train_metrics.get("loss", 0.0))
+            is_best = best_rmse < 0 or rmse < best_rmse
+            best_rmse = min(rmse, best_rmse) if best_rmse >= 0 else rmse
+            save_checkpoint(
+                save_path,
+                jax.device_get(self.state),
+                meta={
+                    "epoch": epoch,
+                    "step": int(self.state.step),
+                    "model_name": self.model.spec.torch_name,
+                    "num_levels": self.model.num_levels,
+                    "best_rmse": best_rmse,
+                    "stage": self.stage,
+                },
+                is_best=is_best,
+            )
+            history.append({"epoch": epoch, **train_metrics, **val_metrics})
+        return {"best_rmse": best_rmse, "history": history}
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        self.train_loader.set_epoch(epoch)
+        losses = AverageMeter()
+        rec_losses = AverageMeter()
+        data_time = AverageMeter()
+        batch_time = AverageMeter()
+
+        end = time.time()
+        it = prefetch_to_device(
+            iter(self.train_loader), size=2, sharding=self.batch_sharding
+        )
+        for i, batch in enumerate(it):
+            if i >= self.steps_per_epoch:
+                break
+            data_time.update(time.time() - end)
+            model_batch = {"left": batch["left"], "right": batch["right"]}
+            self.state, aux = self.train_step(
+                self.state, model_batch, self.vgg_params, self.teacher_params
+            )
+            losses.update(float(aux["loss"]), cfg.batch_size)
+            rec_losses.update(float(aux["rec_loss"]), cfg.batch_size)
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if i % cfg.print_freq == 0:
+                print(
+                    f"Epoch: [{epoch}][{i}/{self.steps_per_epoch}] "
+                    f"Time {batch_time} Data {data_time} "
+                    f"Loss {losses} RecLoss {rec_losses}"
+                )
+                if self.logger:
+                    self.logger.scalars(
+                        int(self.state.step),
+                        {"loss": losses.val, "rec_loss": rec_losses.val},
+                        prefix="train/",
+                    )
+        return {"loss": losses.avg, "rec_loss": rec_losses.avg}
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _val_forward(self):
+        def fwd(params, left):
+            return self.model.apply(
+                params,
+                left,
+                self.cfg.min_disp,
+                self.cfg.max_disp,
+                ret_disp=True,
+                ret_pan=True,
+                ret_subocc=True,
+            )
+
+        return jax.jit(fwd)
+
+    def validate(self, dataset) -> Dict[str, float]:
+        rmses = AverageMeter()
+        epes = AverageMeter()
+        kitti_errors = MultiAverageMeter(KITTI_ERROR_NAMES)
+        for i in range(len(dataset)):
+            s = dataset.get(i)
+            left = jnp.asarray(s["left"])[None]
+            right = jnp.asarray(s["right"])[None]
+            out = self._val_forward(self.state.params, left)
+            rmses.update(float(image_rmse(out.pan, right)))
+            if "targets" in s:
+                target = jnp.asarray(s["targets"][0])[None]
+                epes.update(float(real_epe(out.disp, target, sparse=True)))
+                gt_d, pred_d = disps_to_depths_kitti2015(
+                    np.asarray(target)[..., 0], np.asarray(out.disp)[..., 0]
+                )
+                kitti_errors.update(compute_kitti_errors(gt_d[0], pred_d[0]))
+        metrics = {"rmse": rmses.avg, "epe": epes.avg}
+        metrics.update(
+            {n: v for n, v in zip(KITTI_ERROR_NAMES, kitti_errors.avg)}
+        )
+        return metrics
