@@ -1,0 +1,92 @@
+"""Evaluation CLI (reference Test_KITTI.py).
+
+    python -m fal_net_tpu.cli.test --data_root /data/KITTI \
+        --lists_dir /data/lists --pretrained ckpt.msgpack --tdataName Kitti_eigen_test_improved
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from fal_net_tpu.data.datasets import (
+    kitti2015,
+    kitti_eigen_test_improved,
+    kitti_eigen_test_original,
+    make3d,
+)
+from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
+from fal_net_tpu.models import create_model
+from fal_net_tpu.train.checkpoint import load_params_any
+
+EVAL_DATASETS = {
+    "Kitti_eigen_test_improved": kitti_eigen_test_improved,
+    "Kitti_eigen_test_original": kitti_eigen_test_original,
+    "Kitti2015": lambda root, split=0, lists_dir=None: kitti2015(root, split),
+    "Make3D": lambda root, split=0, lists_dir=None: make3d(root, split),
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="fal_net_tpu evaluator")
+    p.add_argument("--tdataName", default="Kitti_eigen_test_improved",
+                   choices=sorted(EVAL_DATASETS))
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--lists_dir", default=None)
+    p.add_argument("--pretrained", required=True,
+                   help="native .msgpack or reference .pth.tar checkpoint")
+    p.add_argument("--model", default=None, help="override model variant")
+    p.add_argument("--no_levels", type=int, default=None)
+    p.add_argument("--max_disp", type=float, default=300.0)
+    p.add_argument("--min_disp", type=float, default=2.0)
+    p.add_argument("--rel_baselne", "--rel_baseline", dest="rel_baseline",
+                   type=float, default=1.0)
+    p.add_argument("--f_post_process", action="store_true")
+    p.add_argument("--no_ms_post_process", action="store_true")
+    p.add_argument("--median", action="store_true")
+    p.add_argument("--save", action="store_true")
+    p.add_argument("--save_pan", action="store_true")
+    p.add_argument("--save_input", action="store_true")
+    p.add_argument("--save_pc", action="store_true")
+    p.add_argument("--save_path", default="Test_Results")
+    p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
+    return p
+
+
+def main(argv=None) -> None:
+    import jax.numpy as jnp
+
+    args = build_parser().parse_args(argv)
+    variables, name, levels = load_params_any(args.pretrained)
+    model_name = args.model or name or "B"
+    num_levels = args.no_levels or levels
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(model_name, num_levels, dtype=dtype)
+    print(f"=> loaded {model_name} (N={model.num_levels}) from {args.pretrained}")
+
+    factory = EVAL_DATASETS[args.tdataName]
+    try:
+        _, dataset = factory(args.data_root, split=0, lists_dir=args.lists_dir)
+    except TypeError:
+        _, dataset = factory(args.data_root, split=0)
+    print(f"=> {len(dataset)} evaluation samples")
+
+    cfg = EvalConfig(
+        dataset=args.tdataName,
+        max_disp=args.max_disp,
+        min_disp=args.min_disp,
+        rel_baseline=args.rel_baseline,
+        f_post_process=args.f_post_process,
+        ms_post_process=not args.no_ms_post_process and not args.f_post_process,
+        use_median=args.median,
+        save=args.save,
+        save_pan=args.save_pan,
+        save_input=args.save_input,
+        save_point_cloud=args.save_pc,
+        save_path=args.save_path,
+    )
+    metrics = Evaluator(model, variables, cfg).run(dataset)
+    print({k: round(v, 4) for k, v in metrics.items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Training CLI.
+
+    python -m fal_net_tpu.cli.train --stage 1 --data_root /data/KITTI \
+        --lists_dir /data/lists --model B
+
+Covers the three reference entry scripts (Train_Stage1_K.py,
+Train_Stage1_Kslow.py via --slow, Train_Stage2_K.py via --stage 2) with one
+flag set; numeric flags are properly typed (the reference left several as
+strings, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from fal_net_tpu.data import REGISTRY as DATASETS
+from fal_net_tpu.data import default_train_transform, kitti2015
+from fal_net_tpu.train import Stage1Config, Stage2Config, Trainer
+from fal_net_tpu.parallel.mesh import make_mesh
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="fal_net_tpu trainer")
+    p.add_argument("--stage", type=int, default=1, choices=(1, 2))
+    p.add_argument("--slow", action="store_true", help="two-sided stage-1 variant")
+    p.add_argument("--model", default="B")
+    p.add_argument("--no_levels", type=int, default=None)
+    p.add_argument("--dataset", default="Kitti", choices=sorted(DATASETS))
+    p.add_argument("--data_root", required=True)
+    p.add_argument("--lists_dir", default=None)
+    p.add_argument("--val_root", default=None, help="KITTI2015 root for validation")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--epoch_size", type=int, default=0)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--max_disp", type=float, default=300.0)
+    p.add_argument("--min_disp", type=float, default=2.0)
+    p.add_argument("--a_p", type=float, default=None)
+    p.add_argument("--a_sm", type=float, default=None)
+    p.add_argument("--a_mr", type=float, default=None)
+    p.add_argument("--crop_height", type=int, default=192)
+    p.add_argument("--crop_width", type=int, default=640)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_path", default="runs")
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--pretrained", default=None)
+    p.add_argument("--fix_model", default=None, help="stage-2 frozen teacher ckpt")
+    p.add_argument("--vgg_weights", default=None)
+    p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
+    p.add_argument("--num_devices", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cls = Stage2Config if args.stage == 2 else Stage1Config
+    cfg = cls(
+        model=args.model,
+        dataset=args.dataset,
+        data_root=args.data_root,
+        lists_dir=args.lists_dir,
+        crop_size=(args.crop_height, args.crop_width),
+        max_disp=args.max_disp,
+        min_disp=args.min_disp,
+        epoch_size=args.epoch_size,
+        workers=args.workers,
+        seed=args.seed,
+        save_path=args.save_path,
+        start_epoch=args.start_epoch,
+        pretrained=args.pretrained,
+        vgg_weights=args.vgg_weights,
+        compute_dtype=args.dtype,
+    )
+    if args.stage == 1:
+        cfg.slow = args.slow  # type: ignore[attr-defined]
+    else:
+        cfg.fix_model = args.fix_model  # type: ignore[attr-defined]
+        if args.a_mr is not None:
+            cfg.a_mr = args.a_mr  # type: ignore[attr-defined]
+    if args.no_levels is not None:
+        cfg.num_levels = args.no_levels
+    for name in ("batch_size", "epochs", "lr", "a_p", "a_sm"):
+        v = getattr(args, name)
+        if v is not None:
+            setattr(cfg, name, v)
+
+    stage = "stage2" if args.stage == 2 else ("stage1_slow" if args.slow else "stage1")
+    val_dataset = None
+    if args.val_root:
+        _, val_dataset = kitti2015(args.val_root, split=0, disp=True)
+
+    trainer = Trainer(
+        cfg,
+        stage=stage,
+        mesh=make_mesh(args.num_devices),
+        val_dataset=val_dataset,
+    )
+    result = trainer.fit()
+    print("best rmse:", result["best_rmse"])
+
+
+if __name__ == "__main__":
+    main()
