@@ -8,10 +8,12 @@ reference can run in this environment), disp-only forward, measured in this
 container on 2026-08-16: 4753 ms/img = 0.210 imgs/sec (single CPU core,
 torch 2.13 fp32).  BASELINE.json's north-star asks >= 5x this.
 
-Timing note: on the axon TPU backend `block_until_ready` does not reliably
-block (relay dispatch), so each timed iteration fetches a scalar reduction
-of the output — the printed number therefore INCLUDES one device->host
-scalar round-trip per image, i.e. it is a conservative lower bound.
+Timing method: K forward passes are chained ON DEVICE inside one jit (each
+iteration's input depends on the previous output, so nothing can be elided
+or overlapped away), then one device->host sync.  A bare per-call sync
+through this environment's TPU relay costs ~28 ms and would otherwise
+dominate; chaining measures sustained single-image throughput, i.e. how a
+pipelined serving loop actually runs.
 """
 
 import json
@@ -34,23 +36,29 @@ def main() -> None:
     left = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32) * 0.3)
     variables = model.init(jax.random.PRNGKey(0), left, 2.0, 300.0, ret_disp=True)
 
+    iters = 10
+
     @jax.jit
-    def disp_sum(variables, left):
-        out = model.apply(variables, left, 2.0, 300.0, ret_disp=True)
-        return out.disp, jnp.sum(out.disp)
+    def chained(variables, left):
+        def body(_, carry):
+            x, acc = carry
+            disp = model.apply(variables, x, 2.0, 300.0, ret_disp=True).disp
+            acc = acc + jnp.sum(disp)
+            # serialize iterations with a data dependency
+            x = x + (1e-12 * acc) * jnp.ones_like(x)
+            return x, acc
 
-    # warmup / compile
-    _, s = disp_sum(variables, left)
-    float(s)
+        _, acc = jax.lax.fori_loop(0, iters, body, (left, jnp.float32(0)))
+        return acc
 
-    iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        _, s = disp_sum(variables, left)
-        float(s)  # forced device->host sync (see module docstring)
-    dt = (time.time() - t0) / iters
+    float(chained(variables, left))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(chained(variables, left))
+        best = min(best, time.time() - t0)
+    value = iters / best
 
-    value = 1.0 / dt
     print(
         json.dumps(
             {

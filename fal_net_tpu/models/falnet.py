@@ -21,10 +21,20 @@ from fal_net_tpu.models.layers import kaiming_normal
 from fal_net_tpu.ops.med import MedOutputs, med_outputs
 
 
+def _fused_med_available() -> bool:
+    """The fused Pallas head needs a real TPU backend (Mosaic)."""
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:
+        return False
+
+
 class FalNet(nn.Module):
     spec: VariantSpec
     num_levels: int
     dtype: jnp.dtype = jnp.float32
+    # 'auto': fused Pallas MED head on TPU, jnp reference path elsewhere.
+    med_impl: str = "auto"  # 'auto' | 'fused' | 'reference'
 
     @nn.compact
     def __call__(
@@ -57,6 +67,28 @@ class FalNet(nn.Module):
         # The MED head runs in fp32 regardless of backbone compute dtype:
         # softmax over 49 planes and the disparity expectation are cheap and
         # precision-sensitive.
+        # Fused kernel only pays off when the shifted volume is needed
+        # (pan/masks); disp-only is a softmax+expectation XLA fuses fine,
+        # and skipping the kernel avoids the NHWC<->NCHW relayouts.
+        use_fused = self.med_impl == "fused" or (
+            self.med_impl == "auto"
+            and (ret_pan or ret_subocc)
+            and _fused_med_available()
+            and isinstance(min_disp, (int, float))
+            and isinstance(max_disp, (int, float))
+        )
+        if use_fused:
+            from fal_net_tpu.ops.med_pallas import med_outputs_fused
+
+            return med_outputs_fused(
+                logits.astype(jnp.float32),
+                left.astype(jnp.float32),
+                min_disp,
+                max_disp,
+                ret_disp=ret_disp,
+                ret_pan=ret_pan,
+                ret_subocc=ret_subocc,
+            )
         return med_outputs(
             logits.astype(jnp.float32),
             left.astype(jnp.float32),
@@ -72,6 +104,7 @@ def create_model(
     variant: str = "B",
     num_levels: int | None = None,
     dtype: jnp.dtype = jnp.float32,
+    med_impl: str = "auto",
 ) -> FalNet:
     """Build a FAL-net variant ('A' | 'B' | 'C', or reference names like
     'FAL_netB')."""
@@ -88,4 +121,5 @@ def create_model(
         spec=spec,
         num_levels=num_levels if num_levels is not None else spec.default_levels,
         dtype=dtype,
+        med_impl=med_impl,
     )

@@ -1,0 +1,99 @@
+"""Fused Pallas MED kernel vs the jnp reference implementation.
+
+Runs in Pallas interpret mode on CPU (numerically identical semantics to
+the compiled TPU kernel, minus Mosaic codegen).  A separate on-TPU check
+lives in bench/verify flows.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fal_net_tpu.ops.med import med_outputs
+from fal_net_tpu.ops.med_pallas import med_outputs_fused
+
+
+def _data(rng, b=1, h=16, w=256, n=9, c=3):
+    logits = jnp.asarray(rng.standard_normal((b, h, w, n)).astype(np.float32))
+    image = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    return logits, image
+
+
+@pytest.mark.parametrize("min_disp,max_disp", [(2.0, 300.0), (1.0, 30.0)])
+def test_fused_forward_matches_reference(rng, min_disp, max_disp):
+    logits, image = _data(rng)
+    want = med_outputs(
+        logits, image, min_disp, max_disp,
+        ret_disp=True, ret_pan=True, ret_subocc=True,
+    )
+    got = med_outputs_fused(
+        logits, image, min_disp, max_disp,
+        ret_disp=True, ret_pan=True, ret_subocc=True, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(want.disp), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.pan), np.asarray(want.pan), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.maskL), np.asarray(want.maskL), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.maskR), np.asarray(want.maskR), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_forward_odd_height(rng):
+    """H not a multiple of TILE_H exercises the pad/crop path."""
+    logits, image = _data(rng, h=13)
+    want = med_outputs(logits, image, 2.0, 300.0, ret_disp=True, ret_pan=True)
+    got = med_outputs_fused(
+        logits, image, 2.0, 300.0, ret_disp=True, ret_pan=True, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(want.disp), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.pan), np.asarray(want.pan), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_disp_only(rng):
+    logits, image = _data(rng, b=2)
+    want = med_outputs(logits, image, 2.0, 300.0, ret_disp=True)
+    got = med_outputs_fused(logits, image, 2.0, 300.0, ret_disp=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.disp), np.asarray(want.disp), rtol=1e-5, atol=1e-4)
+    assert got.pan is None and got.maskL is None
+
+
+def test_fused_gradients_match_reference(rng):
+    logits, image = _data(rng, h=8, w=128, n=7)
+
+    def loss_ref(lg, im):
+        o = med_outputs(lg, im, 2.0, 60.0, ret_disp=True, ret_pan=True)
+        return jnp.sum(jnp.sin(o.pan)) + jnp.sum(jnp.cos(o.disp / 60.0))
+
+    def loss_fused(lg, im):
+        o = med_outputs_fused(
+            lg, im, 2.0, 60.0, ret_disp=True, ret_pan=True, interpret=True
+        )
+        return jnp.sum(jnp.sin(o.pan)) + jnp.sum(jnp.cos(o.disp / 60.0))
+
+    gl_ref, gi_ref = jax.grad(loss_ref, argnums=(0, 1))(logits, image)
+    gl_f, gi_f = jax.grad(loss_fused, argnums=(0, 1))(logits, image)
+    np.testing.assert_allclose(np.asarray(gl_f), np.asarray(gl_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gi_f), np.asarray(gi_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gradients_subocc_stopgrad(rng):
+    """Masks carry no gradient in either implementation."""
+    logits, image = _data(rng, h=8, w=128, n=5)
+
+    def loss(lg):
+        o = med_outputs_fused(
+            lg, image, 2.0, 60.0, ret_disp=True, ret_pan=True, ret_subocc=True,
+            interpret=True,
+        )
+        return jnp.sum(o.maskL) + jnp.sum(o.maskR)
+
+    g = jax.grad(loss)(logits)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def test_fused_falls_back_for_traced_bounds(rng):
+    logits, image = _data(rng, h=8, w=64, n=5)
+    out = med_outputs_fused(
+        logits, image, jnp.float32(2.0), jnp.float32(60.0), ret_disp=True
+    )
+    want = med_outputs(logits, image, 2.0, 60.0, ret_disp=True)
+    np.testing.assert_allclose(np.asarray(out.disp), np.asarray(want.disp), rtol=1e-5, atol=1e-4)
