@@ -27,11 +27,22 @@ def _nearest_indices(out_size: int, in_size: int) -> jax.Array:
 def resize_nearest_torch(x: jax.Array, size: tuple[int, int], *, h_axis: int = -3, w_axis: int = -2) -> jax.Array:
     """Nearest-neighbour resize matching torch ``interpolate(mode='nearest')``.
 
-    ``x`` is NHWC by default (h_axis=-3, w_axis=-2).
+    ``x`` is NHWC by default (h_axis=-3, w_axis=-2).  Exact integer
+    upscaling (src = floor(dst/k)) is lowered as ``jnp.repeat`` —
+    broadcast+reshape instead of a TPU-hostile gather; identical indices.
     """
+
+    def _along(x, out_size, axis):
+        in_size = x.shape[axis]
+        if out_size == in_size:
+            return x
+        if out_size % in_size == 0:
+            return jnp.repeat(x, out_size // in_size, axis=axis)
+        return jnp.take(x, _nearest_indices(out_size, in_size), axis=axis)
+
     out_h, out_w = size
-    x = jnp.take(x, _nearest_indices(out_h, x.shape[h_axis]), axis=h_axis)
-    x = jnp.take(x, _nearest_indices(out_w, x.shape[w_axis]), axis=w_axis)
+    x = _along(x, out_h, h_axis % x.ndim)
+    x = _along(x, out_w, w_axis % x.ndim)
     return x
 
 
