@@ -184,18 +184,30 @@ def kitti_train(
 
 
 def kitti2015(root: str, split=0.0, disp: bool = True):
-    """KITTI 2015 scene-flow: 200 pairs, frames _10, disp_occ_0 GT
-    (Kitti2015.py:26-68)."""
-    items = []
-    for i in range(200):
-        l = os.path.join("training", "image_2", f"{i:06d}_10.png")
-        r = os.path.join("training", "image_3", f"{i:06d}_10.png")
-        d = os.path.join("training", "disp_occ_0", f"{i:06d}_10.png")
-        if os.path.isfile(os.path.join(root, l)) and os.path.isfile(os.path.join(root, r)):
-            items.append(((l, r), [d] if disp else None))
-    train, test = split2list(items, split)
-    mk = lambda lst: StereoEvalDataset(root, lst, load_kitti_disp_png)
-    return mk(train), mk(test)
+    """KITTI 2015 scene-flow (Kitti2015.py:26-96).
+
+    disp=True: 200 ``training`` pairs at frame _10 with disp_occ_0 GT,
+    split by ``split``.  disp=False: GT-free mode — train list = both _10
+    and _11 frames of ``training``, test list = both frames of ``testing``.
+    """
+    def scan(mode: str, frames) -> list:
+        out = []
+        for i in range(200):
+            for fr in frames:
+                l = os.path.join(mode, "image_2", f"{i:06d}_{fr}.png")
+                r = os.path.join(mode, "image_3", f"{i:06d}_{fr}.png")
+                d = os.path.join(mode, "disp_occ_0", f"{i:06d}_10.png")
+                if os.path.isfile(os.path.join(root, l)) and os.path.isfile(
+                    os.path.join(root, r)
+                ):
+                    out.append(((l, r), [d] if (disp and fr == "10") else None))
+        return out
+
+    mk = lambda lst: StereoEvalDataset(root, lst, load_kitti_disp_png if disp else None)
+    if disp:
+        train, test = split2list(scan("training", ("10",)), split)
+        return mk(train), mk(test)
+    return mk(scan("training", ("10", "11"))), mk(scan("testing", ("10", "11")))
 
 
 def kitti_eigen_test_improved(root: str, split=1, lists_dir: Optional[str] = None):

@@ -66,9 +66,10 @@ def disparity_to_point_cloud(
     baseline = baseline if baseline is not None else WIDTH_TO_BASELINE[w]
     z = focal * baseline / (np.asarray(disp_hw, np.float64) + 1e-4)
 
-    # pixel-center grid matching affine_grid((u+1)/2*size) semantics
-    u = (np.arange(w, dtype=np.float64)[None, :] / max(w - 1, 1)) * w
-    v = (np.arange(h, dtype=np.float64)[:, None] / max(h - 1, 1)) * h
+    # pixel centers: affine_grid (align_corners=False) unnormalized by
+    # (u+1)/2*size lands on x+0.5 (myUtils.py:352-360)
+    u = np.arange(w, dtype=np.float64)[None, :] + 0.5
+    v = np.arange(h, dtype=np.float64)[:, None] + 0.5
     x = ((u - w / 2) / focal) * z
     y = ((v - h / 2) / focal) * z
     z = np.clip(z, 0, 200)

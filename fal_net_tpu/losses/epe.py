@@ -40,3 +40,91 @@ def real_epe(pred: jax.Array, target: jax.Array, sparse: bool = False) -> jax.Ar
     h, w = target.shape[-3], target.shape[-2]
     up = resize_bilinear_align_corners(pred, (h, w), align_corners=True)
     return epe(up, target, sparse=sparse, mean=True)
+
+
+def sparse_max_pool(x: jax.Array, size) -> jax.Array:
+    """Adaptive max-pool that preserves signed sparse values
+    (loss_functions.py:141-146): positives and negatives pooled separately
+    so zeros (invalid) never win over valid negatives."""
+    pos = jnp.where(x > 0, x, 0.0)
+    neg = jnp.where(x < 0, -x, 0.0)
+    return _adaptive_max_pool(pos, size) - _adaptive_max_pool(neg, size)
+
+
+def _adaptive_max_pool(x: jax.Array, size) -> jax.Array:
+    """torch adaptive_max_pool2d semantics on NHWC: bin i spans
+    [floor(i*in/out), ceil((i+1)*in/out))."""
+    import numpy as np
+
+    out_h, out_w = size
+
+    def _along(x, out_size, axis):
+        in_size = x.shape[axis]
+        starts = np.floor(np.arange(out_size) * in_size / out_size).astype(int)
+        ends = np.ceil((np.arange(out_size) + 1) * in_size / out_size).astype(int)
+        slices = [
+            jnp.max(
+                jax.lax.slice_in_dim(x, int(s), int(e), axis=axis),
+                axis=axis,
+                keepdims=True,
+            )
+            for s, e in zip(starts, ends)
+        ]
+        return jnp.concatenate(slices, axis=axis)
+
+    x = _along(x, out_h, -3)
+    x = _along(x, out_w, -2)
+    return x
+
+
+def multiscale_epe(
+    outputs,
+    target: jax.Array,
+    weights=None,
+    sparse: bool = False,
+) -> jax.Array:
+    """Weighted sum of per-scale EPEs (loss_functions.py:149-167).
+
+    ``outputs`` is one array or a list of NHWC predictions at decreasing
+    scales; the target is adaptively pooled (max for sparse, mean for
+    dense) to each scale.
+    """
+    if not isinstance(outputs, (tuple, list)):
+        outputs = [outputs]
+    if weights is None:
+        weights = [0.001, 0.005, 0.01, 0.02, 0.08, 0.32]  # FlowNet defaults
+    assert len(weights) == len(outputs)
+
+    total = 0.0
+    for out, weight in zip(outputs, weights):
+        h, w = out.shape[-3], out.shape[-2]
+        if sparse:
+            scaled = sparse_max_pool(target, (h, w))
+        else:
+            scaled = _adaptive_avg_pool(target, (h, w))
+        total = total + weight * epe(out, scaled, sparse, mean=False)
+    return total
+
+
+def _adaptive_avg_pool(x: jax.Array, size) -> jax.Array:
+    import numpy as np
+
+    out_h, out_w = size
+
+    def _along(x, out_size, axis):
+        in_size = x.shape[axis]
+        starts = np.floor(np.arange(out_size) * in_size / out_size).astype(int)
+        ends = np.ceil((np.arange(out_size) + 1) * in_size / out_size).astype(int)
+        slices = [
+            jnp.mean(
+                jax.lax.slice_in_dim(x, int(s), int(e), axis=axis),
+                axis=axis,
+                keepdims=True,
+            )
+            for s, e in zip(starts, ends)
+        ]
+        return jnp.concatenate(slices, axis=axis)
+
+    x = _along(x, out_h, -3)
+    x = _along(x, out_w, -2)
+    return x

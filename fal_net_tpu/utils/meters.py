@@ -7,6 +7,14 @@ from typing import Sequence
 import numpy as np
 
 
+def count_params(tree) -> int:
+    """Total parameter count of a pytree (reference get_n_params,
+    myUtils.py:113-120)."""
+    import jax
+
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+
 class AverageMeter:
     def __init__(self):
         self.reset()
