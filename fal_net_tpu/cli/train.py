@@ -94,7 +94,7 @@ def main(argv=None) -> None:
     trainer = Trainer(
         cfg,
         stage=stage,
-        mesh=make_mesh(args.num_devices),
+        mesh=make_mesh(args.num_devices) if args.num_devices else None,
         val_dataset=val_dataset,
     )
     result = trainer.fit()

@@ -284,6 +284,29 @@ def make3d(root: str, split=1):
     return mk(train), mk(test)
 
 
+@dataclass
+class ConcatDataset:
+    """Mixed-dataset training (the BASELINE 'KITTI + CityScapes mixed'
+    config; the reference ships only the Cityscapes dataset class and
+    defers the mixed trainer — README.md:30)."""
+
+    parts: List
+
+    def __len__(self) -> int:
+        return sum(len(p) for p in self.parts)
+
+    def get(self, index: int, rng: np.random.Generator):
+        for p in self.parts:
+            if index < len(p):
+                return p.get(index, rng)
+            index -= len(p)
+        raise IndexError(index)
+
+
+def mixed_train(datasets) -> ConcatDataset:
+    return ConcatDataset(list(datasets))
+
+
 # Reference-compatible name lookup (Datasets.__dict__[name] pattern).
 REGISTRY: Dict[str, Callable] = {
     "Kitti": kitti_train,

@@ -31,6 +31,16 @@ def make_mesh(
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int, axis_name: str = "data") -> Mesh:
+    """Largest data mesh (<= available devices) that evenly divides the
+    global batch; a batch not divisible by the device count would otherwise
+    fail to shard."""
+    n = len(jax.devices())
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(n, axis_name)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard axis 0 (batch) across the mesh."""
     return NamedSharding(mesh, P(axis_name))

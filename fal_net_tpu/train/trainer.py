@@ -61,7 +61,11 @@ class Trainer:
         assert stage in ("stage1", "stage1_slow", "stage2")
         self.cfg = cfg
         self.stage = stage
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            from fal_net_tpu.parallel.mesh import make_mesh_for_batch
+
+            mesh = make_mesh_for_batch(cfg.batch_size)
+        self.mesh = mesh
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         self.model = create_model(cfg.model, cfg.num_levels, dtype=self.dtype)

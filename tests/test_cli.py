@@ -1,0 +1,99 @@
+"""End-to-end CLI smoke: train on a synthetic KITTI tree, then evaluate the
+resulting checkpoint with the test CLI — the full user-facing flow."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fal_net_tpu.cli import test as cli_test
+from fal_net_tpu.cli import train as cli_train
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    rng = np.random.default_rng(3)
+    pairs = []
+    drive = "2011_09_26/2011_09_26_drive_0001_sync"
+    for i in range(4):
+        for cam in ("image_02", "image_03"):
+            d = root / drive / cam / "data"
+            d.mkdir(parents=True, exist_ok=True)
+            img = rng.integers(0, 255, (72, 240, 3), dtype=np.uint8)
+            Image.fromarray(img).save(d / f"{i:010d}.png")
+        pairs.append(f"{drive}/image_02/data/{i:010d}.png {drive}/image_03/data/{i:010d}.png")
+    lists = root / "lists"
+    lists.mkdir()
+    (lists / "kitti_eigen_train.txt").write_text("\n".join(pairs))
+
+    # KITTI2015 corner for the test CLI
+    for sub in ("image_2", "image_3", "disp_occ_0"):
+        (root / "training" / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(2):
+        for sub in ("image_2", "image_3"):
+            img = rng.integers(0, 255, (64, 1242, 3), dtype=np.uint8)
+            Image.fromarray(img).save(root / "training" / sub / f"{i:06d}_10.png")
+        disp = (rng.random((64, 1242)) * 80 * 256).astype(np.uint16)
+        Image.fromarray(disp).save(root / "training" / "disp_occ_0" / f"{i:06d}_10.png")
+    return root
+
+
+def test_train_then_eval_cli(tree, tmp_path):
+    run_dir = tmp_path / "run"
+    cli_train.main([
+        "--stage", "1",
+        "--model", "tiny",
+        "--no_levels", "5",
+        "--data_root", str(tree),
+        "--lists_dir", str(tree / "lists"),
+        "--batch_size", "2",
+        "--epochs", "1",
+        "--epoch_size", "2",
+        "--crop_height", "48",
+        "--crop_width", "96",
+        "--a_p", "0",
+        "--max_disp", "30",
+        "--workers", "2",
+        "--save_path", str(run_dir),
+    ])
+    ckpts = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(run_dir)
+        for f in fs
+        if f == "checkpoint.msgpack"
+    ]
+    assert len(ckpts) == 1
+
+    out_dir = tmp_path / "eval"
+    cli_test.main([
+        "--tdataName", "Kitti2015",
+        "--data_root", str(tree),
+        "--pretrained", ckpts[0],
+        "--max_disp", "30",
+        "--no_ms_post_process",
+        "--save_path", str(out_dir),
+    ])
+    assert (out_dir / "errors.txt").exists()
+
+
+def test_mixed_dataset():
+    from fal_net_tpu.data.datasets import mixed_train
+
+    class Fake:
+        def __init__(self, n, tag):
+            self.n, self.tag = n, tag
+
+        def __len__(self):
+            return self.n
+
+        def get(self, i, rng):
+            return {"tag": self.tag, "i": i}
+
+    ds = mixed_train([Fake(3, "a"), Fake(2, "b")])
+    assert len(ds) == 5
+    assert ds.get(0, None)["tag"] == "a"
+    assert ds.get(3, None) == {"tag": "b", "i": 0}
+    assert ds.get(4, None) == {"tag": "b", "i": 1}
