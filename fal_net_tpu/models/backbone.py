@@ -92,24 +92,63 @@ VARIANTS = {
 
 
 class FalNetBackbone(nn.Module):
-    """Encoder-decoder emitting ``num_out`` disparity-plane logits (NHWC)."""
+    """Encoder-decoder emitting ``num_out`` disparity-plane logits (NHWC).
+
+    ``s2d_stem=True`` (default) computes the full-resolution stem (conv0 +
+    its residual block + the stride-2 conv1) in the space-to-depth phase
+    domain — exact math, ~4x MXU utilization for the 3..33-channel
+    full-res convs that otherwise dominate the backbone (see
+    fal_net_tpu/ops/s2d.py).  Parameters are identical either way.
+    """
 
     spec: VariantSpec
     num_out: int
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = True
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         spec = self.spec
-        rb = lambda name: ResidualBlock(
-            separable=spec.separable_residual, dtype=self.dtype, name=name
+        rb = lambda name, domain="plain": ResidualBlock(
+            separable=spec.separable_residual,
+            dtype=self.dtype,
+            domain=domain,
+            name=name,
         )
 
+        h, w = image.shape[-3], image.shape[-2]
+        if self.s2d_stem:
+            from fal_net_tpu.ops.s2d import (
+                concat_s2d,
+                depth_to_space,
+                space_to_depth,
+            )
+
+            pad_h, pad_w = h % 2, w % 2
+            mask = (pad_h, pad_w)
+            if pad_h or pad_w:
+                image = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+                flow = jnp.pad(flow, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            img_s = space_to_depth(image)
+            x0_s = ConvElu(32, dtype=self.dtype, domain="s2d", name="conv0")(
+                img_s, mask
+            )
+            x0_s = rb("rb0", "s2d")(x0_s, mask)
+            x0 = depth_to_space(x0_s)[:, :h, :w, :]
+            cat_s = concat_s2d([x0_s, space_to_depth(flow.astype(x0.dtype))])
+            x = ConvElu(
+                spec.enc[0], stride=2, dtype=self.dtype, domain="s2d", name="conv1"
+            )(cat_s)
+        else:
+            x0 = rb("rb0")(ConvElu(32, dtype=self.dtype, name="conv0")(image))
+            x = ConvElu(spec.enc[0], stride=2, dtype=self.dtype, name="conv1")(
+                jnp.concatenate([x0, flow.astype(x0.dtype)], axis=-1)
+            )
+
         # Encoder: 6 stride-2 stages, each followed by a residual block.
-        x0 = rb("rb0")(ConvElu(32, dtype=self.dtype, name="conv0")(image))
-        x = jnp.concatenate([x0, flow.astype(x0.dtype)], axis=-1)
-        skips = [x0]
-        for i, ch in enumerate(spec.enc, start=1):
+        x = rb("rb1")(x)
+        skips = [x0, x]
+        for i, ch in enumerate(spec.enc[1:], start=2):
             x = ConvElu(ch, stride=2, dtype=self.dtype, name=f"conv{i}")(x)
             x = rb(f"rb{i}")(x)
             skips.append(x)

@@ -3,16 +3,68 @@
 All convs are NHWC/HWIO (TPU-native layouts).  Weight init matches the
 reference's ``nn.init.kaiming_normal_`` (fan-in, gain sqrt(2), full normal —
 reference models/FAL_netB.py:131-138) with zero biases.
+
+``domain='s2d'`` runs the SAME canonical convolution in the space-to-depth
+phase domain (see :mod:`fal_net_tpu.ops.s2d`) — exact math, ~4x better MXU
+utilization for the low-channel full-resolution stem.  Parameters keep
+their canonical shapes either way, so checkpoints are domain-agnostic.
 """
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fal_net_tpu.ops.resize import resize_nearest_torch
+from fal_net_tpu.ops.s2d import conv_s2d_s1, conv_s2d_s2, mask_pad_phases
 
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+PadMask = Tuple[int, int]  # (pad_h, pad_w) in {0,1}
+
+
+class ConvOp(nn.Module):
+    """Conv with canonical (kh,kw,Ci,Co) params, computable in the plain or
+    s2d domain.  Param paths match nn.Conv ('kernel'/'bias')."""
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    stride: int = 1
+    use_bias: bool = True
+    domain: str = "plain"  # 'plain' | 's2d'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        cin = x.shape[-1] // 4 if self.domain == "s2d" else x.shape[-1]
+        kernel = self.param("kernel", kaiming_normal, (kh, kw, cin, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype) if bias is not None else None
+        if self.domain == "s2d":
+            if self.stride == 1:
+                return conv_s2d_s1(x, kernel, bias)
+            assert self.stride == 2 and (kh, kw) == (3, 3)
+            return conv_s2d_s2(x, kernel, bias)
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            (self.stride, self.stride),
+            ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class ConvElu(nn.Module):
@@ -26,21 +78,22 @@ class ConvElu(nn.Module):
     stride: int = 1
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32
+    domain: str = "plain"
 
     @nn.compact
-    def __call__(self, x):
-        pad = (self.kernel - 1) // 2
-        x = nn.Conv(
+    def __call__(self, x, pad_mask: PadMask = (0, 0)):
+        x = ConvOp(
             self.features,
             (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=True,
-            kernel_init=kaiming_normal,
+            stride=self.stride,
+            domain=self.domain,
             dtype=self.dtype,
             name="conv",
         )(x)
-        return nn.elu(x)
+        x = nn.elu(x)
+        if self.domain == "s2d" and self.stride == 1 and any(pad_mask):
+            x = mask_pad_phases(x, *pad_mask)
+        return x
 
 
 class ResidualBlock(nn.Module):
@@ -54,29 +107,34 @@ class ResidualBlock(nn.Module):
     separable: bool = False
     kernel: int = 3
     dtype: jnp.dtype = jnp.float32
+    domain: str = "plain"
 
     @nn.compact
-    def __call__(self, x):
-        features = x.shape[-1]
-        k, p = self.kernel, (self.kernel - 1) // 2
+    def __call__(self, x, pad_mask: PadMask = (0, 0)):
+        k = self.kernel
+        features = x.shape[-1] // 4 if self.domain == "s2d" else x.shape[-1]
         if self.separable:
-            shapes = [((k, 1), ((p, p), (0, 0))), ((1, k), ((0, 0), (p, p)))]
+            shapes = [(k, 1), (1, k)]
         else:
-            shapes = [((k, k), ((p, p), (p, p)))] * 2
+            shapes = [(k, k)] * 2
         y = x
-        for i, (ks, pad) in enumerate(shapes):
-            y = nn.Conv(
+        for i, ks in enumerate(shapes):
+            y = ConvOp(
                 features,
                 ks,
-                padding=pad,
                 use_bias=False,
-                kernel_init=kaiming_normal,
+                domain=self.domain,
                 dtype=self.dtype,
                 name=f"conv{i + 1}",
             )(y)
             if i == 0:
                 y = nn.elu(y)
-        return nn.elu(y + x)
+                if self.domain == "s2d" and any(pad_mask):
+                    y = mask_pad_phases(y, *pad_mask)
+        y = nn.elu(y + x)
+        if self.domain == "s2d" and any(pad_mask):
+            y = mask_pad_phases(y, *pad_mask)
+        return y
 
 
 class Deconv(nn.Module):
@@ -91,15 +149,9 @@ class Deconv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip_hw: tuple[int, int]):
+    def __call__(self, x, skip_hw: Tuple[int, int]):
         x = resize_nearest_torch(x, skip_hw)
-        x = nn.Conv(
-            self.features,
-            (3, 3),
-            padding=((1, 1), (1, 1)),
-            use_bias=False,
-            kernel_init=kaiming_normal,
-            dtype=self.dtype,
-            name="conv",
+        x = ConvOp(
+            self.features, (3, 3), use_bias=False, dtype=self.dtype, name="conv"
         )(x)
         return nn.elu(x)
