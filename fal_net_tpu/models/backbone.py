@@ -24,7 +24,13 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from fal_net_tpu.models.layers import ConvElu, Deconv, ResidualBlock, kaiming_normal
+from fal_net_tpu.models.layers import (
+    ConvElu,
+    ConvOp,
+    Deconv,
+    ResidualBlock,
+    kaiming_normal,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -105,6 +111,8 @@ class FalNetBackbone(nn.Module):
     num_out: int
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
+    s2d_tail: bool = False  # measured slower at batch 8 (4x redundant FLOPs
+    #                         outweigh lane utilization once M is large)
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -165,19 +173,48 @@ class FalNetBackbone(nn.Module):
                 jnp.concatenate([d, skip], axis=-1)
             )
 
-        d1 = Deconv(spec.deconv[5], dtype=self.dtype, name="deconv1")(
-            y, (x0.shape[-3], x0.shape[-2])
+        # Decoder tail: deconv1 (to full res) + iconv1 are the two largest
+        # low-channel full-resolution convs in the net — run them in the
+        # phase domain too when sizes are even (the training and headline
+        # inference shapes are; odd KITTI-raw heights fall back).
+        from fal_net_tpu.ops.s2d import concat_s2d as _concat_s2d
+        from fal_net_tpu.ops.s2d import depth_to_space as _d2s
+
+        use_s2d_tail = (
+            self.s2d_tail
+            and self.s2d_stem
+            and h % 2 == 0
+            and w % 2 == 0
+            and y.shape[-3] * 2 == h
+            and y.shape[-2] * 2 == w
         )
-        concat1 = jnp.concatenate([d1, x0], axis=-1)
-        logits = nn.Conv(
-            self.num_out,
-            (3, 3),
-            padding=((1, 1), (1, 1)),
-            use_bias=False,
-            kernel_init=kaiming_normal,
-            dtype=self.dtype,
-            name="iconv1",
-        )(concat1)
+        if use_s2d_tail:
+            d1_s = Deconv(
+                spec.deconv[5], dtype=self.dtype, domain="s2d", name="deconv1"
+            )(y, (h, w))
+            cat_s = _concat_s2d([d1_s, x0_s])
+            logits = _d2s(
+                ConvOp(
+                    self.num_out,
+                    (3, 3),
+                    use_bias=False,
+                    domain="s2d",
+                    dtype=self.dtype,
+                    name="iconv1",
+                )(cat_s)
+            )
+        else:
+            d1 = Deconv(spec.deconv[5], dtype=self.dtype, name="deconv1")(
+                y, (x0.shape[-3], x0.shape[-2])
+            )
+            concat1 = jnp.concatenate([d1, x0], axis=-1)
+            logits = ConvOp(
+                self.num_out,
+                (3, 3),
+                use_bias=False,
+                dtype=self.dtype,
+                name="iconv1",
+            )(concat1)
 
         if spec.has_amask:
             # The reference constructs an occlusion-mask head that forward()
@@ -185,7 +222,7 @@ class FalNetBackbone(nn.Module):
             # parameters still live in every shipped checkpoint, so declare
             # them for state-dict and parameter-count parity without paying
             # any compute.
-            cin = concat1.shape[-1]
+            cin = spec.deconv[5] + 32
             self.param("amask_conv1_kernel", kaiming_normal, (3, 3, cin, cin // 2))
             self.param("amask_conv1_bias", nn.initializers.zeros, (cin // 2,))
             self.param("amask_conv2_kernel", kaiming_normal, (3, 3, cin // 2, 1))

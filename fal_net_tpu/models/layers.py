@@ -143,15 +143,33 @@ class Deconv(nn.Module):
     Mirrors reference ``deconv`` (FAL_netB.py:51-60): the upsample targets
     the *skip tensor's* exact spatial size (handles odd sizes), using
     torch 'nearest' index semantics.
+
+    ``domain='s2d'``: the target is exactly 2x the input (even sizes), so
+    the upsample's s2d is a phase tile of the input and the conv runs in
+    the phase domain; returns the s2d-domain result.
     """
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    domain: str = "plain"
 
     @nn.compact
     def __call__(self, x, skip_hw: Tuple[int, int]):
-        x = resize_nearest_torch(x, skip_hw)
+        if self.domain == "s2d":
+            h2, w2 = x.shape[-3], x.shape[-2]
+            assert skip_hw == (2 * h2, 2 * w2), (skip_hw, x.shape)
+            # s2d(nearest 2x upsample): all four phases equal the input
+            x = jnp.tile(x[..., None, :], (1, 1, 1, 4, 1)).reshape(
+                x.shape[:-1] + (4 * x.shape[-1],)
+            )
+        else:
+            x = resize_nearest_torch(x, skip_hw)
         x = ConvOp(
-            self.features, (3, 3), use_bias=False, dtype=self.dtype, name="conv"
+            self.features,
+            (3, 3),
+            use_bias=False,
+            domain=self.domain,
+            dtype=self.dtype,
+            name="conv",
         )(x)
         return nn.elu(x)
