@@ -129,10 +129,10 @@ class Evaluator:
                 disp = self._jit_flip_pp(self.variables, left, disp)
             elif cfg.ms_post_process:
                 disp = self._jit_ms_pp(self.variables, left, disp)
-            disp.block_until_ready()
-            batch_time.update(time.time() - start)
-
+            # np.asarray forces the device->host transfer; on the axon
+            # backend block_until_ready alone does not actually block.
             disp_np = np.asarray(disp)[0, ..., 0]
+            batch_time.update(time.time() - start)
 
             if cfg.save:
                 save_disparity_png(

@@ -37,7 +37,10 @@ class TrainConfig:
     val_freq: int = 1
     compute_dtype: str = "float32"  # or "bfloat16"
     start_epoch: int = 0
-    pretrained: Optional[str] = None  # checkpoint to resume from
+    pretrained: Optional[str] = None  # params-only warm start
+    resume: Optional[str] = None  # full-state resume (params + Adam moments
+    #                                + step), preemption-safe
+    save_every_steps: int = 0  # 0 = only per-epoch checkpoints
     vgg_weights: Optional[str] = None  # torchvision vgg19 state_dict path
 
     @property

@@ -145,6 +145,12 @@ class Trainer:
             steps_per_epoch=steps_per_epoch,
             start_step=cfg.start_epoch * steps_per_epoch,
         )
+        if cfg.resume:
+            # full-state resume: params + optimizer moments + step (the
+            # reference restarts Adam moments on resume — SURVEY §5)
+            self.state, meta = load_checkpoint(cfg.resume, self.state)
+            if meta.get("epoch") is not None:
+                self.cfg.start_epoch = int(meta["epoch"]) + 1
 
         # Replicate state/constants over the mesh; shard batches on 'data'.
         rep = replicate_sharding(self.mesh)
@@ -213,7 +219,7 @@ class Trainer:
         best_rmse = -1.0
         history = []
         for epoch in range(cfg.start_epoch, cfg.epochs):
-            train_metrics = self.train_epoch(epoch)
+            train_metrics = self.train_epoch(epoch, save_path)
             val_metrics = {}
             if self.val_dataset is not None and (epoch % cfg.val_freq == 0):
                 val_metrics = self.validate(self.val_dataset)
@@ -237,7 +243,7 @@ class Trainer:
             history.append({"epoch": epoch, **train_metrics, **val_metrics})
         return {"best_rmse": best_rmse, "history": history}
 
-    def train_epoch(self, epoch: int) -> Dict[str, float]:
+    def train_epoch(self, epoch: int, save_path: Optional[str] = None) -> Dict[str, float]:
         cfg = self.cfg
         self.train_loader.set_epoch(epoch)
         losses = AverageMeter()
@@ -273,6 +279,22 @@ class Trainer:
                         {"loss": losses.val, "rec_loss": rec_losses.val},
                         prefix="train/",
                     )
+            if (
+                cfg.save_every_steps
+                and save_path
+                and (i + 1) % cfg.save_every_steps == 0
+            ):
+                save_checkpoint(
+                    save_path,
+                    jax.device_get(self.state),
+                    meta={
+                        "epoch": epoch - 1,  # resume re-runs this epoch
+                        "step": int(self.state.step),
+                        "model_name": self.model.spec.torch_name,
+                        "num_levels": self.model.num_levels,
+                        "stage": self.stage,
+                    },
+                )
         return {"loss": losses.avg, "rec_loss": rec_losses.avg}
 
     # ------------------------------------------------------------------
