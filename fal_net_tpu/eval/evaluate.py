@@ -60,6 +60,8 @@ class EvalConfig:
     save_point_cloud: bool = False
     save_path: str = "eval_out"
     print_freq: int = 10
+    crop_top_95: bool = False  # 'Owndata' mode: keep top 95% of rows
+    #                            (Test_KITTI.py:169-172)
 
 
 class Evaluator:
@@ -118,6 +120,8 @@ class Evaluator:
         for i in range(n):
             sample = dataset.get(i)
             left = jnp.asarray(sample["left"])[None]
+            if cfg.crop_top_95:
+                left = left[:, : int(0.95 * left.shape[1])]
             want_artifacts = cfg.save and cfg.save_pan
 
             start = time.time()
