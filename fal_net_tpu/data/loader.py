@@ -48,29 +48,43 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         drop_last: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_id``/``num_shards``: multi-host data parallelism — each
+        host iterates a disjoint slice of every epoch's permutation (the
+        same seed derivation keeps hosts in lockstep), and ``batch_size``
+        is the per-host batch.  Pair with
+        ``jax.process_index()/process_count()`` on multi-host pods."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.seed = seed
         self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _shard_len(self) -> int:
+        return len(self.dataset) // self.num_shards
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        n = len(self.dataset)
-        order = np.arange(n)
+        order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards][: self._shard_len()]
+        n = len(order)
         nb = len(self)
 
         def fetch(i: int):

@@ -35,7 +35,9 @@ class TrainConfig:
     save_path: str = "runs"
     print_freq: int = 100
     val_freq: int = 1
-    compute_dtype: str = "float32"  # or "bfloat16"
+    compute_dtype: str = "float32"  # "bfloat16" trains ~1.3x faster on v5e
+    remat: bool = False  # rematerialize the model forward in the backward
+    #                      pass (trade FLOPs for HBM; enables bigger batches)
     start_epoch: int = 0
     pretrained: Optional[str] = None  # params-only warm start
     resume: Optional[str] = None  # full-state resume (params + Adam moments

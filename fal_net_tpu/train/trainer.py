@@ -170,6 +170,13 @@ class Trainer:
         vgg_fn = None
         if self.vgg_model is not None and vgg_params is not None:
             vgg_fn = lambda im: self.vgg_model.apply(vgg_params, im)
+        model_apply = self.model.apply
+        if cfg.remat:
+            # checkpoint the model forward: recompute activations in the
+            # backward pass instead of keeping the U-Net pyramid in HBM
+            def model_apply(p, x, mn, mx, **flags):
+                fn = lambda p_, x_: self.model.apply(p_, x_, mn, mx, **flags)
+                return jax.checkpoint(fn)(p, x)
         common = dict(
             min_disp=cfg.min_disp,
             max_disp=cfg.max_disp,
@@ -178,13 +185,13 @@ class Trainer:
             vgg_fn=vgg_fn,
         )
         if self.stage == "stage1":
-            return stage1_loss(params, batch, self.model.apply, **common)
+            return stage1_loss(params, batch, model_apply, **common)
         if self.stage == "stage1_slow":
-            return stage1_slow_loss(params, batch, self.model.apply, **common)
+            return stage1_slow_loss(params, batch, model_apply, **common)
         return stage2_loss(
             params,
             batch,
-            self.model.apply,
+            model_apply,
             self.teacher_model.apply,
             teacher_params,
             a_mr=cfg.a_mr,  # type: ignore[attr-defined]
@@ -222,7 +229,7 @@ class Trainer:
             train_metrics = self.train_epoch(epoch, save_path)
             val_metrics = {}
             if self.val_dataset is not None and (epoch % cfg.val_freq == 0):
-                val_metrics = self.validate(self.val_dataset)
+                val_metrics = self.validate(self.val_dataset, epoch)
                 self.logger.scalars(epoch, val_metrics, prefix="val/")
             rmse = val_metrics.get("rmse", train_metrics.get("loss", 0.0))
             is_best = best_rmse < 0 or rmse < best_rmse
@@ -313,7 +320,12 @@ class Trainer:
 
         return jax.jit(fwd)
 
-    def validate(self, dataset) -> Dict[str, float]:
+    def validate(self, dataset, epoch: int = 0, log_images: int = 3) -> Dict[str, float]:
+        """KITTI-2015 validation (Train_Stage1_K.py:279-347): synthesis RMSE,
+        sparse EPE, depth metrics; first ``log_images`` samples' disp/mask/pan
+        go to the image logger."""
+        from fal_net_tpu.utils.viz import disp2rgb
+
         rmses = AverageMeter()
         epes = AverageMeter()
         kitti_errors = MultiAverageMeter(KITTI_ERROR_NAMES)
@@ -323,6 +335,14 @@ class Trainer:
             right = jnp.asarray(s["right"])[None]
             out = self._val_forward(self.state.params, left)
             rmses.update(float(image_rmse(out.pan, right)))
+            if self.logger is not None and i < log_images:
+                self.logger.image(epoch, f"val{i}/disparity", disp2rgb(np.asarray(out.disp)[0]))
+                self.logger.image(epoch, f"val{i}/maskL", disp2rgb(np.asarray(out.maskL)[0], 1.0))
+                self.logger.image(
+                    epoch,
+                    f"val{i}/pan",
+                    np.clip(np.asarray(out.pan)[0] + np.asarray([0.411, 0.432, 0.45]), 0, 1),
+                )
             if "targets" in s:
                 target = jnp.asarray(s["targets"][0])[None]
                 epes.update(float(real_epe(out.disp, target, sparse=True)))
