@@ -12,10 +12,9 @@ strings, SURVEY §5).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from fal_net_tpu.data import REGISTRY as DATASETS
-from fal_net_tpu.data import default_train_transform, kitti2015
+from fal_net_tpu.data import kitti2015
 from fal_net_tpu.train import Stage1Config, Stage2Config, Trainer
 from fal_net_tpu.parallel.mesh import make_mesh
 

@@ -16,7 +16,7 @@ useful structured-similarity signal but do not match pretrained fidelity.
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

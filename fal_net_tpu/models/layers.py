@@ -12,7 +12,7 @@ their canonical shapes either way, so checkpoints are domain-agnostic.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

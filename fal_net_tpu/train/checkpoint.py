@@ -19,7 +19,6 @@ import shutil
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 from flax import serialization
 
 CKPT_NAME = "checkpoint.msgpack"

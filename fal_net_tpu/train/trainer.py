@@ -27,7 +27,6 @@ import numpy as np
 from fal_net_tpu.data import (
     DataLoader,
     default_train_transform,
-    kitti2015,
     prefetch_to_device,
 )
 from fal_net_tpu.data.datasets import REGISTRY as DATASETS
@@ -40,7 +39,7 @@ from fal_net_tpu.eval.metrics import (
 from fal_net_tpu.losses.epe import real_epe
 from fal_net_tpu.losses.vgg import init_vgg19, load_torch_vgg19
 from fal_net_tpu.models import create_model
-from fal_net_tpu.parallel.mesh import batch_sharding, make_mesh, replicate_sharding
+from fal_net_tpu.parallel.mesh import batch_sharding, replicate_sharding
 from fal_net_tpu.train.checkpoint import load_checkpoint, load_params_any, save_checkpoint
 from fal_net_tpu.train.config import Stage2Config, TrainConfig
 from fal_net_tpu.train.stages import stage1_loss, stage1_slow_loss, stage2_loss

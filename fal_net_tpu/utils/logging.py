@@ -13,7 +13,7 @@ import dataclasses
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 def dump_settings(save_path: str, cfg: Any) -> None:
