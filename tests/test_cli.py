@@ -79,6 +79,48 @@ def test_train_then_eval_cli(tree, tmp_path):
     assert (out_dir / "errors.txt").exists()
 
 
+def test_convert_reference_checkpoint(tmp_path, tree):
+    """Reference .pth.tar -> native conversion -> eval CLI round trip."""
+    import sys
+
+    import torch
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from models.FAL_netB import FAL_netB
+
+    ref = FAL_netB(None, no_levels=5)
+    ckpt = tmp_path / "ref.pth.tar"
+    torch.save(
+        {"epoch": 3, "m_model": "FAL_netB", "state_dict": ref.state_dict(),
+         "best_rmse": 1.0},
+        ckpt,
+    )
+
+    from fal_net_tpu.cli import convert as cli_convert
+
+    out = tmp_path / "converted"
+    cli_convert.main(["--input", str(ckpt), "--output", str(out)])
+    assert (out / "checkpoint.msgpack").exists()
+
+    from fal_net_tpu.train.checkpoint import load_params_any
+
+    variables, name, levels = load_params_any(str(out / "checkpoint.msgpack"))
+    assert name == "FAL_netB" and levels == 5
+    assert "backbone" in variables["params"]
+
+    # and the converted checkpoint drives the eval CLI
+    cli_test.main([
+        "--tdataName", "Kitti2015",
+        "--data_root", str(tree),
+        "--pretrained", str(out / "checkpoint.msgpack"),
+        "--max_disp", "30",
+        "--no_ms_post_process",
+        "--save_path", str(tmp_path / "eval2"),
+    ])
+    assert (tmp_path / "eval2" / "errors.txt").exists()
+
+
 def test_mixed_dataset():
     from fal_net_tpu.data.datasets import mixed_train
 
