@@ -192,17 +192,14 @@ def _fwd_kernel(
 
     # ---- pan: sum_n shift(img)_n * Dprob_n ----
     if want_pan:
-        # image channels sublane-stacked in ONE (C*TILE_H, WP) buffer so a
-        # single dynamic roll per plane shifts all channels together
         _zero_fill(pad_img)
         for c in range(C):  # C=3: tiny static unroll
-            pad_img[c * TILE_H : (c + 1) * TILE_H, L : L + W] = img_ref[0, c].astype(f32)
+            pad_img[c, :, L : L + W] = img_ref[0, c].astype(f32)
 
         def pan_body(n, accs):
             d = dvol[n]
-            sh = _shift_sample(pad_img[...], ffw_ref[n], tfw_ref[n], L, W)
             return tuple(
-                accs[c] + sh[c * TILE_H : (c + 1) * TILE_H] * d for c in range(C)
+                accs[c] + fw_shift(pad_img, c, n) * d for c in range(C)
             )
 
         pans = jax.lax.fori_loop(0, N, pan_body, tuple(zeros() for _ in range(C)))
@@ -315,39 +312,32 @@ def _bwd_kernel(
 
         jax.lax.fori_loop(0, N, norm_store, 0)
 
-        # --- padded image (channels sublane-stacked: one roll per plane);
-        #     q_n into pad_log center (logits copy is spent) ---
+        # --- padded image; q_n into pad_log center (logits copy is spent) ---
         _zero_fill(pad_img)
         for c in range(C):
-            pad_img[c * TILE_H : (c + 1) * TILE_H, L : L + W] = img_ref[0, c].astype(f32)
+            pad_img[c, :, L : L + W] = img_ref[0, c].astype(f32)
         gpan = [gpan_ref[0, c].astype(f32) for c in range(C)]
 
         def q_body(n, sq):
-            sh = _shift_sample(pad_img[...], ffw_ref[n], tfw_ref[n], L, W)
             gd = zeros()
             for c in range(C):
-                gd = gd + sh[c * TILE_H : (c + 1) * TILE_H] * gpan[c]
+                gd = gd + fw_shift(pad_img, c, n) * gpan[c]
             q = dvol[n] * gd
             pad_log[n, :, L : L + W] = q
             return sq + q
 
         sum_q = jax.lax.fori_loop(0, N, q_body, zeros())
 
-        # --- g_img: sum_n S^T(D_n * g_pan_c); reuse pad_img (image content
-        #     is spent) as the packed S^T staging buffer ---
-        def gi_body(n, gis):
-            for c in range(C):
-                pad_img[c * TILE_H : (c + 1) * TILE_H, L : L + W] = dvol[n] * gpan[c]
-            sh = _shift_sample(
-                pad_img[...], -ffw_ref[n] - 1, 1.0 - tfw_ref[n], L, W
-            )
-            return tuple(
-                gis[c] + sh[c * TILE_H : (c + 1) * TILE_H] for c in range(C)
-            )
-
-        gis = jax.lax.fori_loop(0, N, gi_body, tuple(zeros() for _ in range(C)))
+        # --- g_img: sum_n S^T(D_n * g_pan_c) ---
+        _zero_fill(rowbuf)
         for c in range(C):
-            gimg_ref[0, c] = gis[c].astype(gimg_ref.dtype)
+            def gi_body(n, gi):
+                rowbuf[:, L : L + W] = dvol[n] * gpan[c]
+                return gi + shift_T(n)
+
+            gimg_ref[0, c] = jax.lax.fori_loop(0, N, gi_body, zeros()).astype(
+                gimg_ref.dtype
+            )
     else:
         _zero_fill(gimg_ref)
 
@@ -433,7 +423,7 @@ def _med_fused_fwd_call(
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((n, TILE_H, wp), jnp.float32),
-            pltpu.VMEM((c * TILE_H, wp), jnp.float32),
+            pltpu.VMEM((c, TILE_H, wp), jnp.float32),
             pltpu.VMEM((n, TILE_H, w), jnp.float32),
             pltpu.VMEM((TILE_H, wp), jnp.float32),
         ],
@@ -484,7 +474,7 @@ def _med_fused_bwd_call(
         ),
         scratch_shapes=[
             pltpu.VMEM((n, TILE_H, wp), jnp.float32),
-            pltpu.VMEM((c * TILE_H, wp), jnp.float32),
+            pltpu.VMEM((c, TILE_H, wp), jnp.float32),
             pltpu.VMEM((n, TILE_H, w), jnp.float32),
             pltpu.VMEM((TILE_H, wp), jnp.float32),
         ],
