@@ -184,11 +184,16 @@ def _fwd_kernel(
     z = jax.lax.fori_loop(0, N, exp_store, zeros())
     inv_z = 1.0 / z
 
-    def norm_store(n, _):
-        dvol[n] = dvol[n] * inv_z
-        return 0
+    if want_subocc:
+        # maskL shifts normalized probabilities per-pixel at the SOURCE, so
+        # the volume must be normalized in place.  The pan-only path (the
+        # stage-1 training config) skips this whole pass and folds inv_z
+        # into the final blend instead.
+        def norm_store(n, _):
+            dvol[n] = dvol[n] * inv_z
+            return 0
 
-    jax.lax.fori_loop(0, N, norm_store, 0)
+        jax.lax.fori_loop(0, N, norm_store, 0)
 
     # ---- pan: sum_n shift(img)_n * Dprob_n ----
     if want_pan:
@@ -203,8 +208,9 @@ def _fwd_kernel(
             )
 
         pans = jax.lax.fori_loop(0, N, pan_body, tuple(zeros() for _ in range(C)))
+        scale = 1.0 if want_subocc else inv_z  # dvol held raw exps otherwise
         for c in range(C):
-            pan_ref[0, c] = pans[c].astype(pan_ref.dtype)
+            pan_ref[0, c] = (pans[c] * scale).astype(pan_ref.dtype)
 
     # ---- maskL: sum_n shift_{-s_n}(Dprob_n) ----
     if want_subocc:
