@@ -28,6 +28,8 @@ class TrainConfig:
     lr_gamma: float = 0.5
     max_disp: float = 300.0
     min_disp: float = 2.0
+    rel_baseline_val: float = 1.0  # validation-set baseline scale
+    #                                 (--rel_baset, Train_Stage1_K.py:36,296)
     a_p: float = 0.01  # perceptual weight (Train_Stage1_K.py:43)
     a_sm: float = 0.2 * 2 / 512  # smoothness weight (Train_Stage1_K.py:44)
     fix_order: bool = True  # trainers always pass fix=True

@@ -307,11 +307,12 @@ class Trainer:
     @functools.cached_property
     def _val_forward(self):
         def fwd(params, left):
+            rb = self.cfg.rel_baseline_val
             return self.model.apply(
                 params,
                 left,
-                self.cfg.min_disp,
-                self.cfg.max_disp,
+                self.cfg.min_disp * rb,
+                self.cfg.max_disp * rb,
                 ret_disp=True,
                 ret_pan=True,
                 ret_subocc=True,
