@@ -403,7 +403,9 @@ def _med_fused_fwd_call(
     c = image.shape[1]
     assert h % TILE_H == 0, f"H={h} not a multiple of {TILE_H}"
     lev, f_fw, t_fw, f_bw, t_bw, pad = _plane_tables(min_disp, max_disp, n, w)
-    wp = w + 2 * pad
+    # dynamic lane rotates require a 128-aligned width: round the padded
+    # row length itself up (extra zeros land in the right margin)
+    wp = _round_up(w + 2 * pad, LANE)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -457,7 +459,7 @@ def _med_fused_bwd_call(
     b, n, h, w = logits.shape
     c = image.shape[1]
     lev, f_fw, t_fw, _f_bw, _t_bw, pad = _plane_tables(min_disp, max_disp, n, w)
-    wp = w + 2 * pad
+    wp = _round_up(w + 2 * pad, LANE)  # see fwd: aligned dynamic rotates
 
     kernel = functools.partial(
         _bwd_kernel,
