@@ -48,6 +48,25 @@ def test_fused_forward_odd_height(rng):
     np.testing.assert_allclose(np.asarray(got.pan), np.asarray(want.pan), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_forward_unaligned_width(rng):
+    """W not a multiple of 128 (all real KITTI widths): the padded row
+    length must stay lane-aligned or Mosaic rejects the dynamic rotates
+    (found driving 375x1242 on hardware)."""
+    logits, image = _data(rng, h=16, w=187)
+    want = med_outputs(
+        logits, image, 2.0, 300.0, ret_disp=True, ret_pan=True, ret_subocc=True
+    )
+    got = med_outputs_fused(
+        logits, image, 2.0, 300.0,
+        ret_disp=True, ret_pan=True, ret_subocc=True, interpret=True,
+    )
+    for name in ("disp", "pan", "maskL", "maskR"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
 def test_fused_disp_only(rng):
     logits, image = _data(rng, b=2)
     want = med_outputs(logits, image, 2.0, 300.0, ret_disp=True)
