@@ -1,0 +1,92 @@
+"""Batched streaming inference — the production serving loop.
+
+The reference's inference path is strictly batch-1 (Test_KITTI.py:113,
+"kitty mixes image sizes!").  For a fixed resolution, a single TPU chip
+sustains far higher throughput batched (~170 vs ~85 imgs/sec for FAL_netB
+at 384x1280); this utility packs an image stream into fixed batches,
+double-buffers the host->device copies, pads the ragged tail, and yields
+per-image disparities in order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fal_net_tpu.data.loader import prefetch_to_device
+
+
+class DisparityPipeline:
+    """Fixed-shape batched disparity inference.
+
+    Example:
+        pipe = DisparityPipeline(model, variables, batch_size=8)
+        for name, disp in pipe.run(named_images):  # (name, HWC float32)
+            ...
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        batch_size: int = 8,
+        min_disp: float = 2.0,
+        max_disp: float = 300.0,
+        ms_post_process: bool = False,
+    ):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.min_disp = min_disp
+        self.max_disp = max_disp
+        self.ms_post_process = ms_post_process
+
+    @functools.cached_property
+    def _forward(self):
+        def disp_fn(variables, images):
+            return self.model.apply(
+                variables, images, self.min_disp, self.max_disp, ret_disp=True
+            ).disp
+
+        if not self.ms_post_process:
+            return jax.jit(disp_fn)
+
+        from fal_net_tpu.eval.postprocess import ms_post_process
+
+        def with_pp(variables, images):
+            disp = disp_fn(variables, images)
+            return ms_post_process(
+                images, lambda im: disp_fn(variables, im), disp
+            )
+
+        return jax.jit(with_pp)
+
+    def _batches(self, items: Iterable[Tuple[str, np.ndarray]]):
+        names, imgs = [], []
+        for name, img in items:
+            names.append(name)
+            imgs.append(np.asarray(img, np.float32))
+            if len(imgs) == self.batch_size:
+                yield {"names": names, "images": np.stack(imgs)}
+                names, imgs = [], []
+        if imgs:
+            pad = self.batch_size - len(imgs)
+            yield {
+                "names": names,
+                "images": np.stack(imgs + [np.zeros_like(imgs[0])] * pad),
+            }
+
+    def run(
+        self, items: Iterable[Tuple[str, np.ndarray]]
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        """items: (name, HWC float32 normalized image) -> (name, HW disparity)."""
+        staged = prefetch_to_device(self._batches(items), size=2)
+        for batch in staged:
+            disp = self._forward(self.variables, batch["images"])
+            disp_np = np.asarray(disp)[..., 0]
+            for i, name in enumerate(batch["names"]):
+                yield name, disp_np[i]

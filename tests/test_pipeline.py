@@ -1,0 +1,48 @@
+"""Batched streaming inference pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fal_net_tpu.eval.pipeline import DisparityPipeline
+from fal_net_tpu.models import create_model
+
+
+def test_pipeline_order_and_ragged_tail(rng):
+    model = create_model("tiny", 5)
+    h, w = 32, 64
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    pipe = DisparityPipeline(model, variables, batch_size=4, max_disp=30.0)
+
+    n = 10  # ragged: 4 + 4 + 2(+2 pad)
+    items = [(f"img{i:02d}", rng.random((h, w, 3)).astype(np.float32) - 0.4)
+             for i in range(n)]
+    out = list(pipe.run(iter(items)))
+    assert [name for name, _ in out] == [f"img{i:02d}" for i in range(n)]
+    for _, d in out:
+        assert d.shape == (h, w)
+        assert np.isfinite(d).all()
+        assert 2.0 - 1e-3 <= d.min() and d.max() <= 30.0 + 1e-2
+
+    # batched result matches per-image forward
+    single = np.asarray(
+        model.apply(variables, jnp.asarray(items[5][1])[None], 2.0, 30.0,
+                    ret_disp=True).disp
+    )[0, ..., 0]
+    np.testing.assert_allclose(out[5][1], single, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_with_ms_pp(rng):
+    model = create_model("tiny", 5)
+    h, w = 48, 96
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    pipe = DisparityPipeline(
+        model, variables, batch_size=2, max_disp=30.0, ms_post_process=True
+    )
+    items = [(str(i), rng.random((h, w, 3)).astype(np.float32) - 0.4) for i in range(3)]
+    out = list(pipe.run(iter(items)))
+    assert len(out) == 3 and all(np.isfinite(d).all() for _, d in out)
