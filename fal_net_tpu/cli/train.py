@@ -55,7 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     cls = Stage2Config if args.stage == 2 else Stage1Config
+    # slow must reach the constructor: Stage1Config.__post_init__ applies the
+    # Kslow batch-size default (4, Train_Stage1_Kslow.py:48); the explicit
+    # --batch_size override below still wins.
+    extra = {"slow": args.slow} if args.stage == 1 else {}
     cfg = cls(
+        **extra,
         model=args.model,
         dataset=args.dataset,
         data_root=args.data_root,
@@ -72,9 +77,7 @@ def main(argv=None) -> None:
         vgg_weights=args.vgg_weights,
         compute_dtype=args.dtype,
     )
-    if args.stage == 1:
-        cfg.slow = args.slow  # type: ignore[attr-defined]
-    else:
+    if args.stage == 2:
         cfg.fix_model = args.fix_model  # type: ignore[attr-defined]
         if args.a_mr is not None:
             cfg.a_mr = args.a_mr  # type: ignore[attr-defined]

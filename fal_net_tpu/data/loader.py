@@ -126,22 +126,45 @@ def prefetch_to_device(
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
     err: list = []
+    stop = threading.Event()
 
     def producer():
         try:
             for batch in iterator:
-                q.put(put(batch))
+                staged = put(batch)
+                # A consumer that stops early (epoch_size truncation) would
+                # otherwise leave this thread blocked on a full queue forever,
+                # leaking the thread + its device-resident batches.
+                while not stop.is_set():
+                    try:
+                        q.put(staged, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surface worker errors to the consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            # Deliver the sentinel with the same stop-aware retry: on normal
+            # completion the queue may be full of unconsumed batches, and a
+            # dropped sentinel would hang the consumer's final get().
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -107,7 +107,9 @@ class RandomBrightness:
 
 
 class RandomChannelBrightness:
-    """Per-channel gain, same gains applied to both views (RandomCBrightness)."""
+    """Per-channel gain, drawn independently per view AND per channel —
+    matching the reference RandomCBrightness (data_transforms.py:148-155),
+    which redraws the gain inside its per-view, per-channel loops."""
 
     def __init__(self, low: float = 0.8, high: float = 1.2):
         self.low, self.high = low, high

@@ -199,11 +199,12 @@ class Evaluator:
         source = make_errors if cfg.dataset == "Make3D" else kitti_errors
         metrics.update({k: v for k, v in zip(KITTI_ERROR_NAMES, source.avg)})
 
-        if cfg.save or True:
-            os.makedirs(cfg.save_path, exist_ok=True)
-            with open(os.path.join(cfg.save_path, "errors.txt"), "w") as f:
-                f.write(f"EPE {epes.avg}\n")
-                f.write("Kitti metrics:\n")
-                f.write(repr(source) + "\n")
+        # errors.txt is always written, like the reference (Test_KITTI.py:276-280
+        # writes it unconditionally, independent of --save).
+        os.makedirs(cfg.save_path, exist_ok=True)
+        with open(os.path.join(cfg.save_path, "errors.txt"), "w") as f:
+            f.write(f"EPE {epes.avg}\n")
+            f.write("Kitti metrics:\n")
+            f.write(repr(source) + "\n")
         print(repr(source))
         return metrics

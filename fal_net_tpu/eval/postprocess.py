@@ -48,6 +48,9 @@ def ms_post_process(
     dwn_flip_disp = (1.0 / up_fac) * resize_nearest_torch(dwn_flip_disp, (h, w))
     dwn_flip_disp = hflip(dwn_flip_disp, axis=-2)
 
-    norm = disp / (jnp.percentile(disp, 95) + 1e-6)
+    # Per-image percentile: the reference runs batch-1 (identical there),
+    # and a batch-global percentile would couple each image's blend to its
+    # batchmates (incl. zero-padded tail slots in the streaming pipeline).
+    norm = disp / (jnp.percentile(disp, 95, axis=(1, 2, 3), keepdims=True) + 1e-6)
     norm = jnp.minimum(norm, 1.0)
     return (1.0 - norm) * disp + norm * dwn_flip_disp

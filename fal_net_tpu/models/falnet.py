@@ -22,9 +22,11 @@ from fal_net_tpu.ops.med import MedOutputs, med_outputs
 
 
 def _fused_med_available() -> bool:
-    """The fused Pallas head needs a real TPU backend (Mosaic)."""
+    """The fused Pallas head needs a Mosaic-compiling TPU backend —
+    allowlist ('tpu' plus this container's remote-TPU 'axon' backend)
+    rather than assume every non-cpu/gpu platform can compile it."""
     try:
-        return jax.default_backend() not in ("cpu", "gpu")
+        return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:
         return False
 
@@ -35,6 +37,8 @@ class FalNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # 'auto': fused Pallas MED head on TPU, jnp reference path elsewhere.
     med_impl: str = "auto"  # 'auto' | 'fused' | 'reference'
+    s2d_stem: bool = True  # phase-domain full-res stem (+17%, ops/s2d.py)
+    s2d_tail: bool = False  # measured slower at batch 8; kept selectable
 
     @nn.compact
     def __call__(
@@ -54,7 +58,12 @@ class FalNet(nn.Module):
             (b, h, w, 1),
         )
         dlog = FalNetBackbone(
-            self.spec, num_out=self.num_levels, dtype=self.dtype, name="backbone"
+            self.spec,
+            num_out=self.num_levels,
+            dtype=self.dtype,
+            s2d_stem=self.s2d_stem,
+            s2d_tail=self.s2d_tail,
+            name="backbone",
         )(left, flow)
         logits = nn.Conv(
             self.num_levels,
@@ -105,6 +114,8 @@ def create_model(
     num_levels: int | None = None,
     dtype: jnp.dtype = jnp.float32,
     med_impl: str = "auto",
+    s2d_stem: bool = True,
+    s2d_tail: bool = False,
 ) -> FalNet:
     """Build a FAL-net variant ('A' | 'B' | 'C', or reference names like
     'FAL_netB')."""
@@ -122,4 +133,6 @@ def create_model(
         num_levels=num_levels if num_levels is not None else spec.default_levels,
         dtype=dtype,
         med_impl=med_impl,
+        s2d_stem=s2d_stem,
+        s2d_tail=s2d_tail,
     )

@@ -59,7 +59,16 @@ def load_checkpoint(path: str, target: Any) -> Tuple[Any, Dict[str, Any]]:
 
 def load_params_any(path: str) -> Tuple[Dict[str, Any], Optional[str], Optional[int]]:
     """Load model params from either a native checkpoint or a reference
-    torch ``*.pth.tar`` (detected by extension)."""
+    torch ``*.pth.tar`` (detected by extension).
+
+    Native msgpack files are identified by *structure*, not guessed:
+      * a serialized TrainState  — root has both 'params' and 'opt_state';
+      * a flax variables dict    — root has a 'params' collection;
+      * a bare inner params dict — root has the 'backbone' module.
+    Anything else raises ``ValueError`` instead of silently mis-loading.
+    Returns ``(variables, model_name, num_levels)`` with variables in the
+    canonical ``{'params': {...}}`` form.
+    """
     if path.endswith((".pth", ".pth.tar", ".pt", ".tar")):
         from fal_net_tpu.models.torch_import import load_torch_checkpoint
 
@@ -68,7 +77,6 @@ def load_params_any(path: str) -> Tuple[Dict[str, Any], Optional[str], Optional[
     # native: params-only restore (structure-free via msgpack dict decode)
     with open(path if not os.path.isdir(path) else os.path.join(path, CKPT_NAME), "rb") as f:
         tree = serialization.msgpack_restore(f.read())
-    params = tree.get("params", tree)
     meta_path = os.path.join(
         path if os.path.isdir(path) else os.path.dirname(path), META_NAME
     )
@@ -78,7 +86,25 @@ def load_params_any(path: str) -> Tuple[Dict[str, Any], Optional[str], Optional[
             meta = json.load(f)
         name = meta.get("model_name")
         num_levels = meta.get("num_levels")
-    if "params" not in params and "backbone" not in params:
-        # full TrainState tree: pull the params subtree
-        params = tree["params"] if "params" in tree else params
-    return ({"params": params} if "backbone" in params else params), name, num_levels
+
+    def _as_variables(node):
+        if not isinstance(node, dict):
+            return None
+        if "params" in node and isinstance(node["params"], dict):
+            return node  # flax variables dict
+        if "backbone" in node:
+            return {"params": node}  # bare inner params dict
+        return None
+
+    if isinstance(tree, dict) and "opt_state" in tree and "params" in tree:
+        variables = _as_variables(tree["params"])  # serialized TrainState
+    else:
+        variables = _as_variables(tree)
+    if variables is None:
+        keys = sorted(tree) if isinstance(tree, dict) else type(tree).__name__
+        raise ValueError(
+            f"unrecognized checkpoint structure in {path!r}: root keys {keys}; "
+            "expected a TrainState ('params'+'opt_state'), a flax variables "
+            "dict ('params'), or a bare params dict ('backbone')"
+        )
+    return variables, name, num_levels

@@ -55,6 +55,15 @@ def create_train_state(
     start_step: int = 0,
 ) -> TrainState:
     schedule = make_lr_schedule(lr, milestones, lr_gamma, steps_per_epoch)
+    if start_step:
+        # Warm restart via --pretrained + --start_epoch (the reference's
+        # restart idiom, which fast-forwards MultiStepLR at
+        # Train_Stage1_K.py:183-184): optax counts updates from tx.init()=0,
+        # so shift the schedule by the steps already taken.  Full-state
+        # --resume instead restores the optax count itself and must pass
+        # start_step=0 (the Trainer does) or the shift double-counts.
+        base_schedule = schedule
+        schedule = lambda count: base_schedule(count + start_step)
     tx = optax.adam(schedule, b1=beta1, b2=beta2)
     import jax.numpy as jnp
 

@@ -142,7 +142,10 @@ class Trainer:
             milestones=cfg.milestones,
             lr_gamma=cfg.lr_gamma,
             steps_per_epoch=steps_per_epoch,
-            start_step=cfg.start_epoch * steps_per_epoch,
+            # Warm restart (--pretrained + --start_epoch) fast-forwards the
+            # LR schedule; full-state --resume restores the optax update
+            # count itself, so the shift must stay 0 there.
+            start_step=0 if cfg.resume else cfg.start_epoch * steps_per_epoch,
         )
         if cfg.resume:
             # full-state resume: params + optimizer moments + step (the
