@@ -26,6 +26,33 @@ from fal_net_tpu.ops.shift import hflip
 VggFn = Optional[Callable[[jax.Array], Sequence[jax.Array]]]
 
 
+def _disp_bounds(batch, min_disp, max_disp):
+    """Per-sample disparity bounds.
+
+    The reference feeds each sample's ``x_pix`` (+/- max_pix, sign-flipped
+    on a random L/R swap when fix=False) into the model as the per-sample
+    ``max_disp`` tensor, with ``min_disp`` scaled proportionally —
+    Datasets/listdataset_train.py:74-81, Train_Stage1_K.py:227,237.  When
+    the batch carries no 'max_disp' (the fix_order=True trainers strip it
+    so the bounds stay compile-time floats and the fused Pallas MED head
+    applies), fall back to the static config scalars.
+    """
+    mx = batch.get("max_disp")
+    if mx is None:
+        return min_disp, max_disp
+    mx = jnp.asarray(mx, jnp.float32).reshape(-1)
+    return mx * (min_disp / max_disp), mx
+
+
+def _stacked(bounds):
+    """Bounds for the [view | flipped other-view] double-batch forwards
+    (torch.cat((max_disp, max_disp)) — Train_Stage1_Kslow.py:248)."""
+    mn, mx = bounds
+    if isinstance(mx, jax.Array) and mx.ndim > 0:
+        return jnp.concatenate([mn, mn]), jnp.concatenate([mx, mx])
+    return mn, mx
+
+
 def stage1_loss(
     params,
     batch: Dict[str, jax.Array],
@@ -39,7 +66,8 @@ def stage1_loss(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     left, right = batch["left"], batch["right"]
     w = left.shape[-2]
-    out = model_apply(params, left, min_disp, max_disp, ret_disp=True, ret_pan=True)
+    mn, mx = _disp_bounds(batch, min_disp, max_disp)
+    out = model_apply(params, left, mn, mx, ret_disp=True, ret_pan=True)
     rpan, ldisp = out.pan, out.disp
 
     vgg_right = vgg_fn(right) if (a_p > 0 and vgg_fn is not None) else None
@@ -68,8 +96,9 @@ def stage1_slow_loss(
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     left, right = batch["left"], batch["right"]
     b, _, w, _ = left.shape
+    mn, mx = _stacked(_disp_bounds(batch, min_disp, max_disp))
     stacked = jnp.concatenate([left, hflip(right, axis=-2)], axis=0)
-    out = model_apply(params, stacked, min_disp, max_disp, ret_disp=True, ret_pan=True)
+    out = model_apply(params, stacked, mn, mx, ret_disp=True, ret_pan=True)
     rpan, lpan = out.pan[:b], out.pan[b:]
     ldisp, rdisp = out.disp[:b], out.disp[b:]
     # un-flip the right-view outputs
@@ -115,12 +144,13 @@ def stage2_loss(
     left, right = batch["left"], batch["right"]
     b, h, w, _ = left.shape
     x0, x1 = int(0.20 * w), int(0.80 * w)
+    mn, mx = _stacked(_disp_bounds(batch, min_disp, max_disp))
 
     # Teacher (frozen): disparities for the mirrored pair.
     mldisp = mrdisp = None
     if a_mr > 0:
         t_in = jnp.concatenate([hflip(left, axis=-2), right], axis=0)
-        t_out = teacher_apply(teacher_params, t_in, min_disp, max_disp, ret_disp=True)
+        t_out = teacher_apply(teacher_params, t_in, mn, mx, ret_disp=True)
         t_disp = jax.lax.stop_gradient(t_out.disp)
         mldisp = hflip(t_disp[:b], axis=-2)
         mrdisp = t_disp[b:]
@@ -128,7 +158,7 @@ def stage2_loss(
     # Student: double batch with sub-occlusion masks.
     s_in = jnp.concatenate([left, hflip(right, axis=-2)], axis=0)
     out = model_apply(
-        params, s_in, min_disp, max_disp, ret_disp=True, ret_pan=True, ret_subocc=True
+        params, s_in, mn, mx, ret_disp=True, ret_pan=True, ret_subocc=True
     )
     rpan, lpan = out.pan[:b], hflip(out.pan[b:], axis=-2)
     ldisp, rdisp = out.disp[:b], hflip(out.disp[b:], axis=-2)

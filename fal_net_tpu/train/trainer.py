@@ -269,6 +269,13 @@ class Trainer:
                 break
             data_time.update(time.time() - end)
             model_batch = {"left": batch["left"], "right": batch["right"]}
+            if not cfg.fix_order and "max_disp" in batch:
+                # fix_order=False: random L/R swaps flip each sample's
+                # disparity sign; the per-sample x_pix must reach the model
+                # (Train_Stage1_K.py:227).  With fix_order=True the value is
+                # the constant +max_disp, and keeping it a python float
+                # preserves the fused Pallas MED head.
+                model_batch["max_disp"] = batch["max_disp"]
             self.state, aux = self.train_step(
                 self.state, model_batch, self.vgg_params, self.teacher_params
             )

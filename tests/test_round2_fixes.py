@@ -180,6 +180,99 @@ def test_cli_slow_default_batch_size(monkeypatch, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Per-sample disparity-range plumbing (VERDICT missing #2 / weak #3)
+# ---------------------------------------------------------------------------
+
+
+def test_med_negative_bounds_parity(rng):
+    """fix_order=False swapped samples carry negative disparity bounds
+    (x_pix = -max_pix with min scaled proportionally,
+    listdataset_train.py:74-81 + Train_Stage1_K.py:237); parity vs the
+    torch grid_sample transcription of FAL_netB.py:200-297."""
+    pytest.importorskip("torch")
+    from fal_net_tpu.ops.med import med_outputs
+    from tests.test_med import torch_med_reference
+
+    B, H, W, N, C = 1, 8, 96, 9, 3
+    logits = rng.standard_normal((B, N, H, W)).astype(np.float32)
+    image = rng.standard_normal((B, C, H, W)).astype(np.float32)
+    mn, mx = -1.0, -30.0  # swapped order: both bounds negated
+    want_disp, want_pan, want_ml, want_mr = torch_med_reference(
+        logits, image, mn, mx
+    )
+    got = med_outputs(
+        jnp.asarray(logits.transpose(0, 2, 3, 1)),
+        jnp.asarray(image.transpose(0, 2, 3, 1)),
+        mn, mx,
+        ret_disp=True, ret_pan=True, ret_subocc=True,
+    )
+    to_nchw = lambda a: np.asarray(a).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(to_nchw(got.disp), want_disp, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(to_nchw(got.pan), want_pan, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(to_nchw(got.maskL), want_ml, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(to_nchw(got.maskR), want_mr, rtol=1e-4, atol=1e-4)
+
+
+def test_stage1_per_sample_bounds(rng):
+    """stage1_loss with a per-sample max_disp batch entry equals the average
+    of scalar-bounds per-sample losses (mixed +/- signs exercised)."""
+    from fal_net_tpu.train.stages import stage1_loss
+
+    model = create_model("tiny", 5)
+    h, w = 16, 32
+    left = rng.random((2, h, w, 3)).astype(np.float32) - 0.4
+    right = rng.random((2, h, w, 3)).astype(np.float32) - 0.4
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    kw = dict(min_disp=2.0, max_disp=30.0, a_p=0.0, a_sm=0.2 * 2 / 512)
+    mx = np.array([30.0, -30.0], np.float32)
+    loss, _ = stage1_loss(
+        variables,
+        {"left": jnp.asarray(left), "right": jnp.asarray(right),
+         "max_disp": jnp.asarray(mx)},
+        model.apply,
+        **kw,
+    )
+    per_sample = []
+    for b in range(2):
+        lb, _ = stage1_loss(
+            variables,
+            {"left": jnp.asarray(left[b : b + 1]),
+             "right": jnp.asarray(right[b : b + 1]),
+             "max_disp": jnp.asarray(mx[b : b + 1])},
+            model.apply,
+            **kw,
+        )
+        per_sample.append(float(lb))
+    np.testing.assert_allclose(float(loss), np.mean(per_sample), rtol=1e-5)
+    # and the swapped sample genuinely differs from the unswapped one
+    assert abs(per_sample[0] - per_sample[1]) > 1e-6
+
+
+def test_trainer_fix_order_false_smoke():
+    """A fix_order=False training step consumes the batch's per-sample
+    max_disp (mixed signs) without error."""
+    from fal_net_tpu.parallel.mesh import make_mesh
+    from fal_net_tpu.train import Stage1Config, Trainer
+    from tests.test_train import SyntheticStereo, _tiny_cfg
+
+    class SwappedStereo(SyntheticStereo):
+        def get(self, index, rng):
+            s = super().get(index, rng)
+            if index % 2:
+                s["left"], s["right"] = s["right"], s["left"]
+                s["max_disp"] = np.float32(-30.0)
+            return s
+
+    cfg = Stage1Config(**_tiny_cfg(epochs=1, epoch_size=2, fix_order=False))
+    tr = Trainer(cfg, stage="stage1", mesh=make_mesh(1),
+                 train_dataset=SwappedStereo(n=8))
+    res = tr.fit()
+    assert np.isfinite(res["history"][-1]["loss"])
+
+
+# ---------------------------------------------------------------------------
 # s2d flags reachable from the public factory (VERDICT weak #10)
 # ---------------------------------------------------------------------------
 
