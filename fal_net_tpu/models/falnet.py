@@ -10,7 +10,7 @@ Functional port of the reference head (models/FAL_netB.py:179-297):
 
 from __future__ import annotations
 
-from typing import Union
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax
@@ -39,6 +39,12 @@ class FalNet(nn.Module):
     med_impl: str = "auto"  # 'auto' | 'fused' | 'reference'
     s2d_stem: bool = True  # phase-domain full-res stem (+17%, ops/s2d.py)
     s2d_tail: bool = False  # measured slower at batch 8; kept selectable
+    # Batch-data-parallel fused head: with a mesh whose med_axis size > 1,
+    # the fused MED kernel runs per-device via shard_map (pallas_call has
+    # no SPMD rule; without this, sharded runs lose the 1.85x fused head).
+    med_mesh: Optional[jax.sharding.Mesh] = None
+    med_axis: str = "data"
+    med_interpret: bool = False  # interpret-mode kernel (CPU tests/dryrun)
 
     @nn.compact
     def __call__(
@@ -82,21 +88,41 @@ class FalNet(nn.Module):
         use_fused = self.med_impl == "fused" or (
             self.med_impl == "auto"
             and (ret_pan or ret_subocc)
-            and _fused_med_available()
+            and (_fused_med_available() or self.med_interpret)
             and isinstance(min_disp, (int, float))
             and isinstance(max_disp, (int, float))
         )
         if use_fused:
-            from fal_net_tpu.ops.med_pallas import med_outputs_fused
+            from fal_net_tpu.ops.med_pallas import (
+                med_outputs_fused,
+                med_outputs_fused_dp,
+            )
 
+            kw = dict(
+                ret_disp=ret_disp,
+                ret_pan=ret_pan,
+                ret_subocc=ret_subocc,
+                interpret=self.med_interpret,
+            )
+            if (
+                self.med_mesh is not None
+                and self.med_mesh.shape.get(self.med_axis, 1) > 1
+            ):
+                return med_outputs_fused_dp(
+                    logits.astype(jnp.float32),
+                    left.astype(jnp.float32),
+                    min_disp,
+                    max_disp,
+                    mesh=self.med_mesh,
+                    axis_name=self.med_axis,
+                    **kw,
+                )
             return med_outputs_fused(
                 logits.astype(jnp.float32),
                 left.astype(jnp.float32),
                 min_disp,
                 max_disp,
-                ret_disp=ret_disp,
-                ret_pan=ret_pan,
-                ret_subocc=ret_subocc,
+                **kw,
             )
         return med_outputs(
             logits.astype(jnp.float32),
@@ -116,6 +142,9 @@ def create_model(
     med_impl: str = "auto",
     s2d_stem: bool = True,
     s2d_tail: bool = False,
+    med_mesh: Optional[jax.sharding.Mesh] = None,
+    med_axis: str = "data",
+    med_interpret: bool = False,
 ) -> FalNet:
     """Build a FAL-net variant ('A' | 'B' | 'C', or reference names like
     'FAL_netB')."""
@@ -135,4 +164,7 @@ def create_model(
         med_impl=med_impl,
         s2d_stem=s2d_stem,
         s2d_tail=s2d_tail,
+        med_mesh=med_mesh,
+        med_axis=med_axis,
+        med_interpret=med_interpret,
     )

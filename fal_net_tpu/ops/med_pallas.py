@@ -542,6 +542,75 @@ def _med_fused_bwd(min_disp, max_disp, want_disp, want_pan, want_subocc, interpr
 _med_fused.defvjp(_med_fused_fwd, _med_fused_bwd)
 
 
+def med_outputs_fused_dp(
+    logits: jax.Array,  # (B, H, W, N) — model layout, batch-sharded
+    image: jax.Array,  # (B, H, W, C)
+    min_disp,
+    max_disp,
+    *,
+    mesh: jax.sharding.Mesh,
+    axis_name: str = "data",
+    ret_disp: bool = True,
+    ret_pan: bool = False,
+    ret_subocc: bool = False,
+    interpret: bool = False,
+) -> MedOutputs:
+    """Batch-data-parallel fused MED head.
+
+    ``pallas_call`` has no SPMD partitioning rule, so under a sharded jit
+    XLA cannot split it across devices; ``shard_map`` over the mesh's data
+    axis runs the kernel per-device on its local batch shard instead.  The
+    kernel grid is batch-major (one grid row per sample), so sharding axis
+    0 is exact — no collectives, each device's shard is independent.  The
+    custom VJP applies inside the shard too, keeping the fused backward on
+    multi-chip training.  Requires static float bounds (falls back to the
+    jnp path otherwise, which XLA shards like any other op) and a batch
+    divisible by the axis size.
+    """
+    if not (isinstance(min_disp, (int, float)) and isinstance(max_disp, (int, float))):
+        return med_outputs(
+            logits, image, min_disp, max_disp,
+            ret_disp=ret_disp, ret_pan=ret_pan, ret_subocc=ret_subocc,
+        )
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis_name]
+    assert logits.shape[0] % n_shards == 0, (
+        f"batch {logits.shape[0]} not divisible by mesh axis "
+        f"{axis_name!r}={n_shards}"
+    )
+    fields = [
+        name
+        for name, want in zip(
+            MedOutputs._fields, (ret_pan, ret_disp, ret_subocc, ret_subocc)
+        )
+        if want
+    ]
+
+    def local(lg, im):
+        out = med_outputs_fused(
+            lg, im, min_disp, max_disp,
+            ret_disp=ret_disp, ret_pan=ret_pan, ret_subocc=ret_subocc,
+            interpret=interpret,
+        )
+        return tuple(getattr(out, name) for name in fields)
+
+    spec = P(axis_name)
+    outs = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=tuple(spec for _ in fields),
+        # pallas_call's out_shape carries no varying-mesh-axes metadata, so
+        # the default check_vma=True rejects it; the mapping here is the
+        # trivial batch split (no collectives), safe to skip the check.
+        check_vma=False,
+    )(logits, image)
+    vals = {name: None for name in MedOutputs._fields}
+    vals.update(zip(fields, outs))
+    return MedOutputs(**vals)
+
+
 def med_outputs_fused(
     logits: jax.Array,  # (B, H, W, N) — model layout
     image: jax.Array,  # (B, H, W, C)

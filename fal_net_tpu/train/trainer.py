@@ -67,7 +67,18 @@ class Trainer:
         self.mesh = mesh
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        self.model = create_model(cfg.model, cfg.num_levels, dtype=self.dtype)
+        # Pure batch-data-parallel meshes keep the fused Pallas MED head via
+        # shard_map over 'data' (pallas_call has no SPMD rule); spatially
+        # sharded meshes fall back to the jnp MED path, which XLA shards.
+        self.med_mesh = (
+            mesh
+            if mesh.shape.get("data", 1) > 1
+            and all(n == 1 for a, n in mesh.shape.items() if a != "data")
+            else None
+        )
+        self.model = create_model(
+            cfg.model, cfg.num_levels, dtype=self.dtype, med_mesh=self.med_mesh
+        )
         self._external_train = train_dataset
         self._external_val = val_dataset
         self.logger: Optional[MetricsLogger] = None
@@ -103,7 +114,10 @@ class Trainer:
             )
             t_vars, t_name, t_levels = load_params_any(cfg.fix_model)
             self.teacher_model = create_model(
-                t_name or cfg.model, t_levels or cfg.num_levels, dtype=self.dtype
+                t_name or cfg.model,
+                t_levels or cfg.num_levels,
+                dtype=self.dtype,
+                med_mesh=self.med_mesh,
             )
             self.teacher_params = t_vars
 
