@@ -47,6 +47,36 @@ def load_depth_npy(path: str) -> np.ndarray:
     return np.load(path).astype(np.float32)[..., None]
 
 
+def load_kitti_flow_png(path: str) -> np.ndarray:
+    """KITTI optical-flow PNG: uint16 RGB where u=(R-2^15)/64, v=(G-2^15)/64
+    and B is the validity mask.  Returns (H, W, 3) float32 [u, v, valid].
+
+    The reference lists flow_occ targets in its scene-flow items
+    (Datasets/Kitti2015.py:36-52) but its test ListDataset never actually
+    loads them (listdataset_test.py:86-92 only loads targets[0] with the
+    disparity loader) — this loader closes that gap.
+
+    PIL/imageio silently downcast 16-bit RGB PNGs to uint8 (corrupting the
+    fixed-point encoding), so decoding goes through cv2's IMREAD_UNCHANGED.
+    """
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "KITTI flow PNGs are 16-bit RGB, which PIL/imageio downcast to "
+            "uint8; reading them requires opencv (cv2)"
+        ) from e
+
+    raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if raw is None or raw.ndim != 3 or raw.shape[-1] < 3 or raw.dtype != np.uint16:
+        raise ValueError(f"not a KITTI flow PNG (need 3 uint16 channels): {path}")
+    bgr = raw.astype(np.float32)
+    u = (bgr[..., 2] - 2.0**15) / 64.0
+    v = (bgr[..., 1] - 2.0**15) / 64.0
+    valid = (bgr[..., 0] > 0).astype(np.float32)
+    return np.stack([u * valid, v * valid, valid], axis=-1)
+
+
 def load_make3d_depth(path: str) -> np.ndarray:
     """Make3D .mat Position3DGrid depth, NEAREST-resized to 1704x2272
     (listdataset_test.py:29-35)."""
@@ -127,26 +157,43 @@ class StereoTrainDataset:
 
 @dataclass
 class StereoEvalDataset:
-    """Evaluation sampler: stereo pair + ground-truth target(s)."""
+    """Evaluation sampler: stereo pair + ground-truth target(s).
+
+    Items are ``((paths...), targets)`` where paths is the (L, R) pair or —
+    for KITTI-2015 scene-flow items (Kitti2015.py:36-52) — the 4-tuple
+    (L_t, R_t, L_t+1, R_t+1), surfaced as ``left_t1``/``right_t1``.
+    ``target_loaders`` optionally assigns one loader per target slot (e.g.
+    [disparity, flow]); a ``None`` slot is skipped.
+    """
 
     root: str
-    items: List[Tuple[Tuple[str, str], Optional[List[str]]]]
+    items: List[Tuple[Tuple[str, ...], Optional[List[str]]]]
     target_loader: Optional[Callable[[str], np.ndarray]] = None
+    target_loaders: Optional[List[Optional[Callable[[str], np.ndarray]]]] = None
 
     def __len__(self) -> int:
         return len(self.items)
 
     def get(self, index: int, rng: Optional[np.random.Generator] = None):
-        (lp, rp), targets = self.items[index]
+        paths, targets = self.items[index]
+        lp, rp = paths[0], paths[1]
         sample = {
             "left": normalize(_imread(os.path.join(self.root, lp))),
             "right": normalize(_imread(os.path.join(self.root, rp))),
             "name": os.path.basename(lp)[:-4],
         }
-        if targets and self.target_loader is not None:
-            sample["targets"] = [
-                self.target_loader(os.path.join(self.root, t)) for t in targets
+        if len(paths) >= 4:
+            sample["left_t1"] = normalize(_imread(os.path.join(self.root, paths[2])))
+            sample["right_t1"] = normalize(_imread(os.path.join(self.root, paths[3])))
+        if targets:
+            loaders = self.target_loaders or [self.target_loader] * len(targets)
+            loaded = [
+                ld(os.path.join(self.root, t))
+                for t, ld in zip(targets, loaders)
+                if ld is not None
             ]
+            if loaded:
+                sample["targets"] = loaded
         return sample
 
 
@@ -183,31 +230,56 @@ def kitti_train(
     return mk(train), StereoTrainDataset(root, test, None, max_pix, fix)
 
 
-def kitti2015(root: str, split=0.0, disp: bool = True):
+def kitti2015(root: str, split=0.0, disp: bool = True, of: bool = False):
     """KITTI 2015 scene-flow (Kitti2015.py:26-96).
 
-    disp=True: 200 ``training`` pairs at frame _10 with disp_occ_0 GT,
-    split by ``split``.  disp=False: GT-free mode — train list = both _10
-    and _11 frames of ``training``, test list = both frames of ``testing``.
+    disp or of (scene-flow mode, Kitti2015.py:36-52): 200 ``training``
+    items of FOUR images — the stereo pair at frames _10 and _11 — with
+    ``[disp_occ_0, flow_occ]`` targets, kept only when all four images
+    exist, split by ``split``.  Samples expose the t+1 pair as
+    ``left_t1``/``right_t1``; the disparity target loads when ``disp`` and
+    the flow target (u, v, valid — a loader the reference lists but never
+    wires up) when ``of``.
+
+    Neither (GT-free mode, Kitti2015.py:53-68): train list = both _10 and
+    _11 frames of ``training`` as separate pairs, test list = both frames
+    of ``testing``.
     """
-    def scan(mode: str, frames) -> list:
+    if disp or of:
+        items = []
+        for i in range(200):
+            paths = tuple(
+                os.path.join("training", cam, f"{i:06d}_{fr}.png")
+                for fr in ("10", "11")
+                for cam in ("image_2", "image_3")
+            )  # (L_10, R_10, L_11, R_11)
+            if not all(os.path.isfile(os.path.join(root, p)) for p in paths):
+                continue  # reference requires all 4 frames (Kitti2015.py:44-49)
+            d = os.path.join("training", "disp_occ_0", f"{i:06d}_10.png")
+            f = os.path.join("training", "flow_occ", f"{i:06d}_10.png")
+            items.append((paths, [d, f]))
+        loaders = [
+            load_kitti_disp_png if disp else None,
+            load_kitti_flow_png if of else None,
+        ]
+        mk = lambda lst: StereoEvalDataset(root, lst, target_loaders=loaders)
+        train, test = split2list(items, split)
+        return mk(train), mk(test)
+
+    def scan(mode: str) -> list:
         out = []
         for i in range(200):
-            for fr in frames:
+            for fr in ("10", "11"):
                 l = os.path.join(mode, "image_2", f"{i:06d}_{fr}.png")
                 r = os.path.join(mode, "image_3", f"{i:06d}_{fr}.png")
-                d = os.path.join(mode, "disp_occ_0", f"{i:06d}_10.png")
                 if os.path.isfile(os.path.join(root, l)) and os.path.isfile(
                     os.path.join(root, r)
                 ):
-                    out.append(((l, r), [d] if (disp and fr == "10") else None))
+                    out.append(((l, r), None))
         return out
 
-    mk = lambda lst: StereoEvalDataset(root, lst, load_kitti_disp_png if disp else None)
-    if disp:
-        train, test = split2list(scan("training", ("10",)), split)
-        return mk(train), mk(test)
-    return mk(scan("training", ("10", "11"))), mk(scan("testing", ("10", "11")))
+    mk = lambda lst: StereoEvalDataset(root, lst)
+    return mk(scan("training")), mk(scan("testing"))
 
 
 def kitti_eigen_test_improved(root: str, split=1, lists_dir: Optional[str] = None):

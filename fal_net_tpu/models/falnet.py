@@ -6,6 +6,20 @@ Functional port of the reference head (models/FAL_netB.py:179-297):
   * an extra 1x1 conv on the logits ("not shown in paper",
     FAL_netB.py:190-192).
   * MED volume outputs via :func:`fal_net_tpu.ops.med.med_outputs`.
+
+Deliberate divergence from FAL_netA: the reference's variant-A maskR
+``grid_sample`` omits ``align_corners`` (models/FAL_netA.py:264, defaulting
+to False) while every other warp — including maskL two lines below — uses
+True on the very same align_corners=True grid.  That mismatch resamples
+maskR through a spurious W/(W-1) stretch plus a half-pixel offset (an
+effective sub-pixel mis-shift that varies across columns); we treat it as
+a reference bug and use align_corners=True shifts uniformly for all
+variants.  The divergence is quantified in
+tests/test_round2_fixes.py::test_falneta_maskr_align_corners_quirk: on
+white-noise probability volumes the mis-shift changes maskR by up to ~0.67
+(half-pixel resampling of high-frequency planes); on smooth real masks the
+effect is proportionally smaller but nonzero, so A-variant checkpoints
+evaluated here will not reproduce the reference's maskR bit-for-bit.
 """
 
 from __future__ import annotations

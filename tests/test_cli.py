@@ -29,13 +29,14 @@ def tree(tmp_path_factory):
     lists.mkdir()
     (lists / "kitti_eigen_train.txt").write_text("\n".join(pairs))
 
-    # KITTI2015 corner for the test CLI
+    # KITTI2015 corner for the test CLI (scene-flow items need both frames)
     for sub in ("image_2", "image_3", "disp_occ_0"):
         (root / "training" / sub).mkdir(parents=True, exist_ok=True)
     for i in range(2):
         for sub in ("image_2", "image_3"):
-            img = rng.integers(0, 255, (64, 1242, 3), dtype=np.uint8)
-            Image.fromarray(img).save(root / "training" / sub / f"{i:06d}_10.png")
+            for fr in ("10", "11"):
+                img = rng.integers(0, 255, (64, 1242, 3), dtype=np.uint8)
+                Image.fromarray(img).save(root / "training" / sub / f"{i:06d}_{fr}.png")
         disp = (rng.random((64, 1242)) * 80 * 256).astype(np.uint16)
         Image.fromarray(disp).save(root / "training" / "disp_occ_0" / f"{i:06d}_10.png")
     return root

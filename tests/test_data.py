@@ -42,15 +42,25 @@ def kitti_tree(tmp_path_factory):
     lists.mkdir()
     (lists / "kitti_eigen_train.txt").write_text("\n".join(pairs))
 
-    # KITTI2015 corner: 3 pairs with uint16 disparity PNGs
-    for sub in ("image_2", "image_3", "disp_occ_0"):
+    # KITTI2015 corner: 3 scene-flow items (stereo at _10 AND _11) with
+    # uint16 disparity + flow PNGs
+    for sub in ("image_2", "image_3", "disp_occ_0", "flow_occ"):
         (root / "training" / sub).mkdir(parents=True, exist_ok=True)
     for i in range(3):
         for sub in ("image_2", "image_3"):
-            img = rng.integers(0, 255, (96, 320, 3), dtype=np.uint8)
-            Image.fromarray(img).save(root / "training" / sub / f"{i:06d}_10.png")
+            for fr in ("10", "11"):
+                img = rng.integers(0, 255, (96, 320, 3), dtype=np.uint8)
+                Image.fromarray(img).save(root / "training" / sub / f"{i:06d}_{fr}.png")
         disp = (rng.random((96, 320)) * 100 * 256).astype(np.uint16)
         Image.fromarray(disp).save(root / "training" / "disp_occ_0" / f"{i:06d}_10.png")
+        import cv2
+
+        # 16-bit BGR (cv2 write order): [valid, v, u] like the KITTI devkit
+        flow = np.zeros((96, 320, 3), np.uint16)
+        flow[..., 2] = (rng.random((96, 320)) * 20 * 64 + 2**15).astype(np.uint16)
+        flow[..., 1] = (rng.random((96, 320)) * 4 * 64 + 2**15).astype(np.uint16)
+        flow[..., 0] = (rng.random((96, 320)) > 0.3).astype(np.uint16)
+        cv2.imwrite(str(root / "training" / "flow_occ" / f"{i:06d}_10.png"), flow)
     return root
 
 
@@ -78,6 +88,46 @@ def test_kitti2015_eval(kitti_tree):
     assert s["left"].shape == (96, 320, 3)
     assert s["targets"][0].shape == (96, 320, 1)
     assert 0 <= s["targets"][0].max() <= 100.01  # /256 scaling applied
+    # scene-flow items carry the t+1 stereo pair (Kitti2015.py:36-52)
+    assert s["left_t1"].shape == (96, 320, 3)
+    assert s["right_t1"].shape == (96, 320, 3)
+    assert len(s["targets"]) == 1  # of=False: flow target not loaded
+
+
+def test_kitti2015_scene_flow_semantics(kitti_tree):
+    """make_dataset parity (Kitti2015.py:26-68): 4-image items requiring
+    all four frames; flow target decoded when of=True; GT-free mode lists
+    both frames as separate pairs."""
+    # knock out one item's _11 frame: the whole item must be skipped
+    victim = kitti_tree / "training" / "image_2" / "000002_11.png"
+    victim.rename(victim.with_suffix(".png.bak"))
+    try:
+        train, test = kitti2015(str(kitti_tree), split=0, disp=True, of=True)
+        assert len(test) == 2 and len(train) == 0
+        s = test.get(0)
+        assert len(s["targets"]) == 2
+        disp_t, flow_t = s["targets"]
+        assert disp_t.shape == (96, 320, 1)
+        assert flow_t.shape == (96, 320, 3)  # u, v, valid
+        valid = flow_t[..., 2]
+        assert set(np.unique(valid)) <= {0.0, 1.0}
+        # u decoded to pixels: fixture wrote U[0,20)*64 + 2^15
+        assert -0.02 <= flow_t[..., 0].min() and flow_t[..., 0].max() <= 20.02
+        assert (flow_t[..., 0][valid == 0] == 0).all()
+
+        # of-only mode: single flow target
+        _, test_of = kitti2015(str(kitti_tree), split=0, disp=False, of=True)
+        s2 = test_of.get(0)
+        assert len(s2["targets"]) == 1 and s2["targets"][0].shape == (96, 320, 3)
+
+        # GT-free mode: both frames as separate 2-image pairs, no targets
+        train_free, test_free = kitti2015(str(kitti_tree), split=0, disp=False)
+        assert len(train_free) == 5  # 3 items x 2 frames - the renamed one
+        s3 = train_free.get(0)
+        assert "targets" not in s3 and "left_t1" not in s3
+        assert len(test_free) == 0  # no testing/ dir in the fixture
+    finally:
+        victim.with_suffix(".png.bak").rename(victim)
 
 
 def test_loader_batches_and_prefetch(kitti_tree):

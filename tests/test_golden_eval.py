@@ -1,0 +1,136 @@
+"""Integrated golden eval: Evaluator.run (ms-pp on, Garg crop, full metric
+suite) vs a torch transcription of the reference Test_KITTI.validate
+(Test_KITTI.py:134-300) driving the ACTUAL reference FAL_netB.
+
+The reference's disp-only forward returns before its hard-coded .cuda()
+grid (FAL_netB.py:228-229), and the whole no-save eval path — forward,
+ms_pp's second pass, flip grids — is disp-only, so the real torch model
+runs on CPU here.  Weights are random-init reference weights ported
+through convert_state_dict; the comparison pins the end-to-end number the
+north-star measurement will use once real KITTI data + trained weights
+are available (VERDICT round-1 weak #5).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
+from fal_net_tpu.models import create_model
+from fal_net_tpu.models.torch_import import convert_state_dict
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+
+# KITTI widths carry the camera tables; Garg crop needs H > 223.
+H, W = 256, 1242
+NUM_LEVELS = 7
+MIN_DISP, MAX_DISP = 2.0, 300.0
+
+
+class OneSampleEval:
+    def __init__(self, left, right, gt_depth):
+        self.sample = {
+            "left": left,
+            "right": right,
+            "targets": [gt_depth[..., None], gt_depth[..., None]],
+            "name": "golden",
+        }
+
+    def __len__(self):
+        return 1
+
+    def get(self, i, rng=None):
+        return self.sample
+
+
+def torch_ms_pp(input_view, model, disp, min_disp, max_disp):
+    """Transcription of Test_KITTI.py ms_pp (:287-300); flip grids use the
+    default align_corners=False on a negated default grid, which is an
+    exact column mirror."""
+    B, C, h, w = input_view.shape
+    theta = torch.zeros(B, 2, 3)
+    theta[:, 0, 0] = 1
+    theta[:, 1, 1] = 1
+    flip_grid = F.affine_grid(theta, [B, C, h, w])
+    flip_grid[:, :, :, 0] = -flip_grid[:, :, :, 0]
+
+    up_fac = 2 / 3
+    upscaled = F.interpolate(
+        F.grid_sample(input_view, flip_grid), scale_factor=up_fac,
+        mode="bilinear", align_corners=True,
+    )
+    dwn_flip_disp = model(
+        upscaled, min_disp, max_disp, ret_disp=True, ret_pan=False, ret_subocc=False
+    )
+    dwn_flip_disp = (1 / up_fac) * F.interpolate(
+        dwn_flip_disp, size=(h, w), mode="nearest"
+    )
+    _, _, hs, ws = dwn_flip_disp.shape
+    theta2 = torch.zeros(B, 2, 3)
+    theta2[:, 0, 0] = 1
+    theta2[:, 1, 1] = 1
+    g2 = F.affine_grid(theta2, [B, 1, hs, ws])
+    g2[:, :, :, 0] = -g2[:, :, :, 0]
+    dwn_flip_disp = F.grid_sample(dwn_flip_disp, g2)
+
+    norm = disp / (np.percentile(disp.detach().cpu().numpy(), 95) + 1e-6)
+    norm[norm > 1] = 1
+    return (1 - norm) * disp + norm * dwn_flip_disp
+
+
+def test_golden_eval_end_to_end(rng, tmp_path):
+    from models.FAL_netB import FAL_netB
+    import myUtils as ref_utils
+
+    ref = FAL_netB(None, no_levels=NUM_LEVELS).eval()
+
+    left = rng.standard_normal((H, W, 3)).astype(np.float32) * 0.25
+    right = rng.standard_normal((H, W, 3)).astype(np.float32) * 0.25
+    gt_depth = (rng.random((H, W)) * 79 + 1).astype(np.float32)
+    gt_depth[rng.random((H, W)) < 0.7] = 0.0  # sparse GT
+
+    # ---- torch transcription of Test_KITTI.validate ----
+    with torch.no_grad():
+        lt = torch.from_numpy(left.transpose(2, 0, 1))[None]
+        max_disp_t = torch.Tensor([MAX_DISP]).unsqueeze(1).unsqueeze(1)
+        min_disp_t = max_disp_t * MIN_DISP / MAX_DISP
+        disp_t = ref(lt, min_disp_t, max_disp_t,
+                     ret_disp=True, ret_subocc=False, ret_pan=False)
+        disp_t = torch_ms_pp(lt, ref, disp_t, min_disp_t, max_disp_t)
+    t_depth, p_depth = ref_utils.disps_to_depths_kitti(
+        gt_depth[None].astype(np.float64),
+        disp_t.squeeze(1).numpy().astype(np.float64),
+    )
+    want = np.asarray(
+        ref_utils.compute_kitti_errors(t_depth[0], p_depth[0], use_median=False)
+    )
+
+    # ---- our Evaluator over the ported weights ----
+    params = {"params": convert_state_dict(
+        {k: v.numpy() for k, v in ref.state_dict().items()}
+    )}
+    model = create_model("B", NUM_LEVELS)
+    cfg = EvalConfig(
+        dataset="Kitti_eigen_test_improved",
+        max_disp=MAX_DISP,
+        min_disp=MIN_DISP,
+        ms_post_process=True,
+        save_path=str(tmp_path),
+        print_freq=1,
+    )
+    metrics = Evaluator(model, params, cfg).run(
+        OneSampleEval(left, right, gt_depth)
+    )
+    got = np.asarray([metrics[k] for k in
+                      ("abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3")])
+
+    # fp32 conv stacks across backends: metric-level agreement to ~1e-3
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert (tmp_path / "errors.txt").exists()

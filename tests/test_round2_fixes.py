@@ -273,6 +273,65 @@ def test_trainer_fix_order_false_smoke():
 
 
 # ---------------------------------------------------------------------------
+# FAL_netA maskR align_corners quirk (VERDICT missing #3): deliberate fix,
+# quantified
+# ---------------------------------------------------------------------------
+
+
+def test_falneta_maskr_align_corners_quirk(rng):
+    """The reference's variant-A maskR grid_sample omits align_corners
+    (models/FAL_netA.py:264 -> False) on a grid built with
+    align_corners=True; every other warp uses True.  We apply True
+    uniformly (see models/falnet.py docstring).  This pins both facts:
+    our maskR matches the align_corners=True transcription exactly, and
+    the quirk's divergence is real but small."""
+    torch_mod = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from fal_net_tpu.ops.med import med_outputs
+
+    B, H, W, N = 1, 8, 96, 9
+    mn, mx = 1.0, 30.0
+    logits = rng.standard_normal((B, N, H, W)).astype(np.float32)
+    image = rng.standard_normal((B, 3, H, W)).astype(np.float32)
+
+    def torch_maskr(align_corners_for_maskr):
+        dlog0 = torch_mod.from_numpy(logits)
+        sm = torch_mod.softmax(dlog0, dim=1)
+        theta = torch_mod.zeros(B, 2, 3)
+        theta[:, 0, 0] = 1
+        theta[:, 1, 1] = 1
+        i_grid = F.affine_grid(theta, [B, 3, H, W], align_corners=True)
+        maskR = 0
+        for n in range(N):
+            c = n / (N - 1)
+            x_of = (2 * mx / W) * np.exp(np.log(mx / mn) * (c - 1))
+            g = i_grid.clone()
+            g[:, :, :, 0] = g[:, :, :, 0] + x_of
+            maskR = maskR + F.grid_sample(
+                sm[:, n].unsqueeze(1), g, align_corners=align_corners_for_maskr
+            )
+        return torch_mod.clamp(maskR, max=1).numpy()
+
+    ours = np.asarray(
+        med_outputs(
+            jnp.asarray(logits.transpose(0, 2, 3, 1)),
+            jnp.asarray(image.transpose(0, 2, 3, 1)),
+            mn, mx, ret_disp=False, ret_pan=False, ret_subocc=True,
+        ).maskR
+    ).transpose(0, 3, 1, 2)
+
+    # exact vs the uniform align_corners=True semantics we ship
+    np.testing.assert_allclose(ours, torch_maskr(True), rtol=1e-4, atol=1e-4)
+    # the reference quirk diverges substantially on white-noise volumes:
+    # the ac=False reinterpretation mis-shifts every plane by a sub-pixel,
+    # column-dependent amount (measured ~0.67 max on a [0,1] mask)
+    quirk = torch_maskr(False)
+    div = np.abs(ours - quirk).max()
+    assert 0.1 < div < 1.0, f"quirk divergence {div}"
+
+
+# ---------------------------------------------------------------------------
 # s2d flags reachable from the public factory (VERDICT weak #10)
 # ---------------------------------------------------------------------------
 
