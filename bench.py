@@ -22,24 +22,33 @@ import time
 import numpy as np
 
 TORCH_CPU_BASELINE_IMGS_PER_SEC = 0.210
+# v5e peak: 197 TFLOP/s bf16 MXU (fp32 runs through the same MXU at roughly
+# half rate; we report MFU against the bf16 peak so the number stays honest
+# about hardware headroom, matching Test_KITTI.py:186-208's role of making
+# inference cost visible).
+V5E_PEAK_FLOPS = 197e12
 
 
-def main() -> None:
+def _model_flops(model, variables, left) -> float:
+    """Forward FLOPs per batch from XLA's cost analysis (conv+matmul+ew)."""
+    import jax
+
+    try:
+        lowered = jax.jit(
+            lambda v, x: model.apply(v, x, 2.0, 300.0, ret_disp=True).disp
+        ).lower(variables, left)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _time_chained(model, variables, left, iters=10, repeats=3) -> float:
+    """Best wall-clock for `iters` data-dependent forwards in one jit."""
     import jax
     import jax.numpy as jnp
-
-    from fal_net_tpu.models import create_model
-
-    model = create_model("B", 49)
-    h, w = 384, 1280
-    batch = 8  # sustained serving throughput; batch-1 latency is ~12 ms
-    rng = np.random.default_rng(0)
-    left = jnp.asarray(
-        rng.standard_normal((batch, h, w, 3)).astype(np.float32) * 0.3
-    )
-    variables = model.init(jax.random.PRNGKey(0), left, 2.0, 300.0, ret_disp=True)
-
-    iters = 10
 
     @jax.jit
     def chained(variables, left):
@@ -56,11 +65,39 @@ def main() -> None:
 
     float(chained(variables, left))  # compile + warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.time()
         float(chained(variables, left))
         best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fal_net_tpu.models import create_model
+
+    model = create_model("B", 49)
+    h, w = 384, 1280
+    batch = 8  # sustained serving throughput
+    rng = np.random.default_rng(0)
+    left = jnp.asarray(
+        rng.standard_normal((batch, h, w, 3)).astype(np.float32) * 0.3
+    )
+    variables = model.init(jax.random.PRNGKey(0), left, 2.0, 300.0, ret_disp=True)
+
+    iters = 10
+    best = _time_chained(model, variables, left, iters=iters)
     value = iters * batch / best
+
+    # Secondary: batch-1 serving latency (per-image ms, same chained-timing
+    # method so the ~28 ms relay sync doesn't pollute it) and MFU.
+    left1 = left[:1]
+    best1 = _time_chained(model, variables, left1, iters=iters)
+    latency_ms = best1 / iters * 1e3
+    flops = _model_flops(model, variables, left)
+    mfu = (flops / batch) * value / V5E_PEAK_FLOPS if flops else 0.0
 
     print(
         json.dumps(
@@ -72,6 +109,11 @@ def main() -> None:
                 "value": round(value, 3),
                 "unit": "imgs/sec",
                 "vs_baseline": round(value / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
+                "batch1_latency_ms": round(latency_ms, 2),
+                "mfu_vs_bf16_peak": round(mfu, 4),
+                "fwd_tflops_per_img": round(flops / batch / 1e12, 3)
+                if flops
+                else None,
             }
         )
     )
