@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from fal_net_tpu.models.backbone import FalNetBackbone, VariantSpec, VARIANTS
-from fal_net_tpu.models.layers import kaiming_normal
+from fal_net_tpu.models.layers import ConvOp
 from fal_net_tpu.ops.med import MedOutputs, med_outputs
 
 
@@ -85,12 +85,17 @@ class FalNet(nn.Module):
             s2d_tail=self.s2d_tail,
             name="backbone",
         )(left, flow)
-        logits = nn.Conv(
+        # The logits conv reads the backbone dtype but emits fp32 straight
+        # from the MXU accumulator: the MED head below is always fp32, and
+        # a separate bf16->fp32 convert of this (B,H,W,N) tensor would cost
+        # a tiling relayout + lost softmax fusion (measured: the entire
+        # bf16-inference slowdown, 63.8 -> 47 ms at 384x1280 b8).
+        logits = ConvOp(
             self.num_levels,
             (1, 1),
             use_bias=True,
-            kernel_init=kaiming_normal,
             dtype=self.dtype,
+            out_dtype=jnp.float32,
             name="logits_1x1",
         )(dlog)
         # The MED head runs in fp32 regardless of backbone compute dtype:

@@ -28,7 +28,15 @@ PadMask = Tuple[int, int]  # (pad_h, pad_w) in {0,1}
 
 class ConvOp(nn.Module):
     """Conv with canonical (kh,kw,Ci,Co) params, computable in the plain or
-    s2d domain.  Param paths match nn.Conv ('kernel'/'bias')."""
+    s2d domain.  Param paths match nn.Conv ('kernel'/'bias').
+
+    ``out_dtype``: emit the conv output in this dtype straight from the MXU
+    accumulator (``preferred_element_type``) instead of the compute dtype.
+    Used at the bf16-backbone -> fp32-MED-head boundary: a separate
+    bf16->fp32 convert of the (B,H,W,N) logits forces a tiling relayout and
+    breaks softmax fusion (measured +17 ms at 384x1280 b8, see CLAUDE.md);
+    accumulating to fp32 inside the conv is free.
+    """
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -36,6 +44,7 @@ class ConvOp(nn.Module):
     use_bias: bool = True
     domain: str = "plain"  # 'plain' | 's2d'
     dtype: jnp.dtype = jnp.float32
+    out_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -49,8 +58,10 @@ class ConvOp(nn.Module):
         )
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
-        bias = bias.astype(self.dtype) if bias is not None else None
+        out_dtype = self.out_dtype or self.dtype
+        bias = bias.astype(out_dtype) if bias is not None else None
         if self.domain == "s2d":
+            assert self.out_dtype is None, "out_dtype not plumbed for s2d"
             if self.stride == 1:
                 return conv_s2d_s1(x, kernel, bias)
             assert self.stride == 2 and (kh, kw) == (3, 3)
@@ -61,6 +72,7 @@ class ConvOp(nn.Module):
             (self.stride, self.stride),
             ((kh // 2, kh // 2), (kw // 2, kw // 2)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=out_dtype,
         )
         if bias is not None:
             y = y + bias
