@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fix_model", default=None, help="stage-2 frozen teacher ckpt")
     p.add_argument("--vgg_weights", default=None)
     p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
+    p.add_argument(
+        "--grad_accum",
+        type=int,
+        default=1,
+        help="microbatches per step (same update, 1/N activation HBM)",
+    )
+    p.add_argument("--remat", action="store_true", help="recompute fwd in bwd")
     p.add_argument("--num_devices", type=int, default=None)
     return p
 
@@ -76,6 +83,8 @@ def main(argv=None) -> None:
         pretrained=args.pretrained,
         vgg_weights=args.vgg_weights,
         compute_dtype=args.dtype,
+        grad_accum=args.grad_accum,
+        remat=args.remat,
     )
     if args.stage == 2:
         cfg.fix_model = args.fix_model  # type: ignore[attr-defined]

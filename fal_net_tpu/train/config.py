@@ -40,6 +40,11 @@ class TrainConfig:
     compute_dtype: str = "float32"  # "bfloat16" trains ~1.3x faster on v5e
     remat: bool = False  # rematerialize the model forward in the backward
     #                      pass (trade FLOPs for HBM; enables bigger batches)
+    grad_accum: int = 1  # microbatch count: split each batch into this many
+    #                      sequential grad computations (lax.scan) and apply
+    #                      their mean — same update as the full batch (up to
+    #                      fp reassociation) at 1/grad_accum the activation
+    #                      HBM.  batch_size must be divisible by it.
     start_epoch: int = 0
     pretrained: Optional[str] = None  # params-only warm start
     resume: Optional[str] = None  # full-state resume (params + Adam moments

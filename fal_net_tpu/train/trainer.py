@@ -215,12 +215,39 @@ class Trainer:
         )
 
     def _build_train_step(self):
+        accum = max(1, int(getattr(self.cfg, "grad_accum", 1)))
+
         def step(state: TrainState, batch, vgg_params, teacher_params):
             grad_fn = jax.value_and_grad(
-                lambda p: self._loss_fn(p, batch, vgg_params, teacher_params),
+                lambda p, b: self._loss_fn(p, b, vgg_params, teacher_params),
                 has_aux=True,
             )
-            (loss, aux), grads = grad_fn(state.params)
+            if accum == 1:
+                (loss, aux), grads = grad_fn(state.params, batch)
+            else:
+                # Microbatching: scan sequential grad computations and apply
+                # their mean — the same update as the full batch (losses are
+                # per-batch means, so mean-of-grads == grad-of-mean up to fp
+                # reassociation) at 1/accum the activation memory.
+                def split(x):
+                    assert x.shape[0] % accum == 0, (x.shape, accum)
+                    return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+                micro = jax.tree.map(split, batch)
+
+                def body(carry, mb):
+                    (loss, aux), grads = grad_fn(state.params, mb)
+                    g_sum, aux_sum = carry
+                    g_sum = jax.tree.map(jnp.add, g_sum, grads)
+                    aux_sum = jax.tree.map(jnp.add, aux_sum, aux)
+                    return (g_sum, aux_sum), None
+
+                first = jax.tree.map(lambda x: x[0], micro)
+                (_, aux0), g0 = grad_fn(state.params, first)
+                rest = jax.tree.map(lambda x: x[1:], micro)
+                (g_sum, aux_sum), _ = jax.lax.scan(body, (g0, aux0), rest)
+                grads = jax.tree.map(lambda g: g / accum, g_sum)
+                aux = jax.tree.map(lambda a: a / accum, aux_sum)
             new_state = state.apply_gradients(grads)
             return new_state, aux
 

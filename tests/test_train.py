@@ -118,3 +118,27 @@ def test_batch_shards_over_mesh():
     assert sharded["left"].sharding.is_equivalent_to(batch_sharding(mesh), ndim=4)
     # each device holds exactly one sample
     assert sharded["left"].addressable_shards[0].data.shape == (1, 4, 8, 3)
+
+
+def test_grad_accum_matches_full_batch(tmp_path):
+    """grad_accum=N applies the mean of N microbatch grads — the same
+    update as the full batch (losses are batch means), up to fp
+    reassociation."""
+
+    def one_step_params(grad_accum):
+        cfg = Stage1Config(
+            **_tiny_cfg(batch_size=8, epoch_size=1, lr=1e-3),
+            grad_accum=grad_accum,
+        )
+        tr = Trainer(
+            cfg, stage="stage1", mesh=make_mesh(1), train_dataset=SyntheticStereo()
+        )
+        tr.fit(save_path=str(tmp_path / f"run_accum{grad_accum}"))
+        return jax.device_get(tr.state.params)
+
+    p1 = one_step_params(1)
+    p4 = one_step_params(4)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat4 = jax.tree_util.tree_leaves(p4)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
