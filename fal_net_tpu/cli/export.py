@@ -1,0 +1,61 @@
+"""AOT export CLI: checkpoint -> single-file compiled serving artifact.
+
+    python -m fal_net_tpu.cli.export --pretrained ckpt.msgpack \
+        --height 384 --width 1280 --batch 1 --out falnetB_384x1280.jaxexp
+
+Accepts native .msgpack or reference .pth.tar checkpoints (like cli.test).
+The artifact bakes the weights in as constants and runs via
+``fal_net_tpu.serve.load_exported`` on any exported platform — no model
+code or checkpoint needed on the serving host.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="fal_net_tpu AOT export")
+    p.add_argument("--pretrained", required=True,
+                   help="native .msgpack or reference .pth.tar checkpoint")
+    p.add_argument("--model", default=None, help="override model variant")
+    p.add_argument("--no_levels", type=int, default=None)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--max_disp", type=float, default=300.0)
+    p.add_argument("--min_disp", type=float, default=2.0)
+    p.add_argument("--pan", action="store_true", help="also emit the pan view")
+    p.add_argument("--subocc", action="store_true", help="also emit maskL/maskR")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms")
+    p.add_argument("--out", required=True)
+    return p
+
+
+def main(argv=None) -> None:
+    from fal_net_tpu.models import create_model
+    from fal_net_tpu.serve import export_forward, save_exported
+    from fal_net_tpu.train.checkpoint import load_params_any
+
+    args = build_parser().parse_args(argv)
+    variables, name, levels = load_params_any(args.pretrained)
+    model = create_model(args.model or name or "B", args.no_levels or levels)
+    blob = export_forward(
+        model,
+        variables,
+        batch=args.batch,
+        height=args.height,
+        width=args.width,
+        min_disp=args.min_disp,
+        max_disp=args.max_disp,
+        ret_pan=args.pan,
+        ret_subocc=args.subocc,
+        platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
+    )
+    save_exported(args.out, blob)
+    print(f"=> exported {len(blob)} bytes to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

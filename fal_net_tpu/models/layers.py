@@ -12,6 +12,7 @@ their canonical shapes either way, so checkpoints are domain-agnostic.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import flax.linen as nn
@@ -24,6 +25,47 @@ from fal_net_tpu.ops.s2d import conv_s2d_s1, conv_s2d_s2, mask_pad_phases
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 PadMask = Tuple[int, int]  # (pad_h, pad_w) in {0,1}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_accum(x, kernel, stride, padding, out_dtype):
+    """NHWC/HWIO conv that accumulates to ``out_dtype`` on the MXU
+    (``preferred_element_type``) with a hand-written VJP.
+
+    JAX's conv transpose rule can't differentiate a mixed-dtype conv (it
+    builds a conv over the bf16 kernel and the fp32 cotangent and trips
+    the same-dtype check), so the backward casts the cotangent down to
+    the operand dtype and uses the standard same-dtype conv VJP — exactly
+    the gradient of the old conv-then-convert formulation.
+    """
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        stride,
+        padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=out_dtype,
+    )
+
+
+def _conv_accum_fwd(x, kernel, stride, padding, out_dtype):
+    return _conv_accum(x, kernel, stride, padding, out_dtype), (x, kernel)
+
+
+def _conv_accum_bwd(stride, padding, out_dtype, res, g):
+    x, kernel = res
+
+    def plain(x_, k_):
+        return jax.lax.conv_general_dilated(
+            x_, k_, stride, padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    _, vjp = jax.vjp(plain, x, kernel)
+    dx, dk = vjp(g.astype(x.dtype))
+    return dx, dk
+
+
+_conv_accum.defvjp(_conv_accum_fwd, _conv_accum_bwd)
 
 
 class ConvOp(nn.Module):
@@ -66,14 +108,20 @@ class ConvOp(nn.Module):
                 return conv_s2d_s1(x, kernel, bias)
             assert self.stride == 2 and (kh, kw) == (3, 3)
             return conv_s2d_s2(x, kernel, bias)
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            (self.stride, self.stride),
-            ((kh // 2, kh // 2), (kw // 2, kw // 2)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=out_dtype,
-        )
+        stride = (self.stride, self.stride)
+        padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+        if jnp.dtype(out_dtype) != jnp.dtype(self.dtype):
+            # mixed-dtype accumulation needs the custom VJP (see above)
+            y = _conv_accum(x, kernel, stride, padding, out_dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel,
+                stride,
+                padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=out_dtype,
+            )
         if bias is not None:
             y = y + bias
         return y

@@ -1,0 +1,128 @@
+"""AOT model export for serving: a single-file compiled artifact.
+
+The reference ships inference as a Python script that rebuilds the torch
+model and loads a checkpoint (Test_KITTI.py:78-131).  TPU-native serving
+wants the opposite: trace + lower ONCE, serialize the StableHLO (weights
+baked in as constants), and run it anywhere — a serving host without the
+model code, flax, or the checkpoint format, on TPU or CPU.
+
+Built on ``jax.export``:
+
+    blob = export_forward(model, variables, batch=1, height=384, width=1280)
+    save_exported("falnetB.jaxexp", blob)
+    # ... on the serving host:
+    fwd = load_exported("falnetB.jaxexp")
+    disp = fwd(left_nhwc)          # (B, H, W, 1) fp32 disparity
+
+The artifact is shape-static (one batch/resolution per export — KITTI eval
+uses a handful of widths, export one per bucket) which is exactly the
+per-shape jit-cache policy of eval/evaluate.py, made ahead-of-time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+MAGIC = b"FALNETTPU_EXPORT1\n"
+
+
+def export_forward(
+    model,
+    variables,
+    *,
+    batch: int = 1,
+    height: int = 384,
+    width: int = 1280,
+    min_disp: float = 2.0,
+    max_disp: float = 300.0,
+    ret_pan: bool = False,
+    ret_subocc: bool = False,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> bytes:
+    """Serialize the jitted forward at a fixed shape, weights baked in.
+
+    The MED head runs the portable jnp path (``med_impl='reference'``) so
+    the artifact contains no backend-specific custom calls and loads on
+    every listed platform; disp-only inference never used the fused Pallas
+    head anyway (models/falnet.py).
+    """
+    portable = type(model)(
+        spec=model.spec,
+        num_levels=model.num_levels,
+        dtype=model.dtype,
+        med_impl="reference",
+        s2d_stem=model.s2d_stem,
+        s2d_tail=model.s2d_tail,
+    )
+
+    def fwd(left):
+        out = portable.apply(
+            variables,
+            left,
+            min_disp,
+            max_disp,
+            ret_disp=True,
+            ret_pan=ret_pan,
+            ret_subocc=ret_subocc,
+        )
+        res = [out.disp]
+        if ret_pan:
+            res.append(out.pan)
+        if ret_subocc:
+            res.extend([out.maskL, out.maskR])
+        return tuple(res)
+
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    exported = jax_export.export(jax.jit(fwd), platforms=tuple(platforms))(spec)
+    meta = {
+        "batch": batch,
+        "height": height,
+        "width": width,
+        "min_disp": min_disp,
+        "max_disp": max_disp,
+        "outputs": ["disp"]
+        + (["pan"] if ret_pan else [])
+        + (["maskL", "maskR"] if ret_subocc else []),
+        "platforms": list(platforms),
+        "variant": model.spec.name,
+        "num_levels": model.num_levels,
+    }
+    meta_blob = json.dumps(meta).encode()
+    return (
+        MAGIC
+        + len(meta_blob).to_bytes(8, "little")
+        + meta_blob
+        + exported.serialize()
+    )
+
+
+def save_exported(path: str, blob: bytes) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+
+def load_exported(path: str):
+    """Load a serving artifact; returns ``fwd(left) -> tuple(outputs)``
+    with ``fwd.meta`` describing shapes and output names."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(MAGIC):
+        raise ValueError(f"{path}: not a falnet-tpu export artifact")
+    off = len(MAGIC)
+    meta_len = int.from_bytes(blob[off : off + 8], "little")
+    off += 8
+    meta = json.loads(blob[off : off + meta_len].decode())
+    exported = jax_export.deserialize(blob[off + meta_len :])
+
+    def fwd(left):
+        return exported.call(left)
+
+    fwd.meta = meta  # type: ignore[attr-defined]
+    return fwd

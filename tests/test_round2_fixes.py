@@ -372,3 +372,37 @@ def test_bf16_logits_boundary_fp32_and_close():
     np.testing.assert_allclose(
         np.asarray(out16), np.asarray(out32), rtol=0.15, atol=0.6
     )
+
+
+def test_bf16_training_grads_flow():
+    """The mixed-dtype logits conv (bf16 in, fp32 accum out) must be
+    differentiable: JAX's builtin conv transpose rule rejects it, so
+    ConvOp routes through a custom VJP.  Checks bf16 grads exist, are
+    finite, and point the same way as fp32 grads."""
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 16, 32, 3)), jnp.float32
+    )
+    target = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 16, 32, 1)), jnp.float32
+    )
+
+    def loss(model, v):
+        out = model.apply(v, x, 2.0, 30.0, ret_disp=True, ret_pan=True)
+        return jnp.mean((out.disp - target) ** 2) + jnp.mean(jnp.abs(out.pan))
+
+    m32 = create_model("tiny", 5, dtype=jnp.float32)
+    v = m32.init(jax.random.PRNGKey(0), x, 2.0, 30.0, ret_disp=True)
+    g32 = jax.grad(lambda p: loss(m32, p))(v)
+    m16 = create_model("tiny", 5, dtype=jnp.bfloat16)
+    g16 = jax.grad(lambda p: loss(m16, p))(v)
+
+    flat32 = jax.tree_util.tree_leaves(g32)
+    flat16 = jax.tree_util.tree_leaves(g16)
+    for a, b in zip(flat32, flat16):
+        assert b.dtype == a.dtype  # grads land in param dtype (fp32)
+        assert np.isfinite(np.asarray(b)).all()
+    # directionally consistent: cosine similarity of the full gradient
+    va = np.concatenate([np.asarray(t).ravel() for t in flat32])
+    vb = np.concatenate([np.asarray(t).ravel() for t in flat16])
+    cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb) + 1e-12))
+    assert cos > 0.98, cos

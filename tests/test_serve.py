@@ -1,0 +1,88 @@
+"""AOT export/serving artifact tests (fal_net_tpu/serve.py).
+
+Round-trips a tiny model through export -> serialize -> deserialize and
+checks the artifact's outputs match the live model exactly (same lowering,
+same constants).  CPU platform; the artifact also carries a tpu lowering
+in production use.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fal_net_tpu.models import create_model
+from fal_net_tpu.serve import export_forward, load_exported, save_exported
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = create_model("tiny", 5)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 16, 32, 3)), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(0), x, 2.0, 30.0, ret_disp=True)
+    return model, variables, x
+
+
+def test_export_roundtrip_disp(tmp_path, tiny):
+    model, variables, x = tiny
+    blob = export_forward(
+        model, variables, batch=1, height=16, width=32,
+        min_disp=2.0, max_disp=30.0, platforms=("cpu",),
+    )
+    path = str(tmp_path / "tiny.jaxexp")
+    save_exported(path, blob)
+    fwd = load_exported(path)
+    assert fwd.meta["outputs"] == ["disp"]
+    assert fwd.meta["height"] == 16 and fwd.meta["width"] == 32
+    (disp,) = fwd(x)
+    ref = model.apply(variables, x, 2.0, 30.0, ret_disp=True).disp
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref), rtol=1e-6)
+
+
+def test_export_all_outputs(tmp_path, tiny):
+    model, variables, x = tiny
+    blob = export_forward(
+        model, variables, batch=1, height=16, width=32,
+        min_disp=2.0, max_disp=30.0, ret_pan=True, ret_subocc=True,
+        platforms=("cpu",),
+    )
+    path = str(tmp_path / "tiny_all.jaxexp")
+    save_exported(path, blob)
+    fwd = load_exported(path)
+    assert fwd.meta["outputs"] == ["disp", "pan", "maskL", "maskR"]
+    disp, pan, maskL, maskR = fwd(x)
+    ref = model.apply(
+        variables, x, 2.0, 30.0, ret_disp=True, ret_pan=True, ret_subocc=True
+    )
+    np.testing.assert_allclose(np.asarray(pan), np.asarray(ref.pan), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(maskL), np.asarray(ref.maskL), rtol=1e-5, atol=1e-5)
+
+
+def test_export_rejects_garbage(tmp_path):
+    path = str(tmp_path / "junk.jaxexp")
+    with open(path, "wb") as f:
+        f.write(b"not an artifact")
+    with pytest.raises(ValueError, match="not a falnet-tpu export"):
+        load_exported(path)
+
+
+def test_export_cli(tmp_path, tiny):
+    from flax import serialization
+
+    model, variables, x = tiny
+    ckpt = tmp_path / "tiny.msgpack"
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(variables)))
+    out = str(tmp_path / "tiny_cli.jaxexp")
+    from fal_net_tpu.cli.export import main as export_main
+
+    export_main([
+        "--pretrained", str(ckpt), "--model", "tiny", "--no_levels", "5",
+        "--batch", "1", "--height", "16", "--width", "32",
+        "--max_disp", "30.0", "--platforms", "cpu", "--out", out,
+    ])
+    fwd = load_exported(out)
+    (disp,) = fwd(x)
+    assert np.isfinite(np.asarray(disp)).all()
