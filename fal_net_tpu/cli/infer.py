@@ -1,0 +1,199 @@
+"""Pure-inference serving CLI: a directory of images -> disparity maps.
+
+    python -m fal_net_tpu.cli.infer --images /data/frames --out_dir out \
+        --pretrained ckpt.msgpack                     # live checkpoint
+    python -m fal_net_tpu.cli.infer --images /data/frames --out_dir out \
+        --artifact falnetB_384x1280.jaxexp            # AOT artifact
+
+The reference has no GT-free batch-inference path — its closest is
+Test_KITTI.py's 'Owndata' branch, still batch-1 inside the eval loop.
+This tool streams arbitrary images through the fixed-shape batched
+pipeline (eval/pipeline.py): resize to the model resolution, infer,
+resize the disparity back and rescale it by the width ratio (disparity
+is measured in pixels, so it scales with width).
+
+Outputs per image: 16-bit KITTI-convention disparity PNG (value*256)
+and/or plasma-colormap PNG, optional .ply point cloud.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+
+
+def list_images(root: str) -> List[str]:
+    if os.path.isfile(root):
+        return [root]
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.lower().endswith(IMG_EXTS):
+            out.append(os.path.join(root, name))
+    return out
+
+
+def load_normalized(path: str, height: int, width: int):
+    """-> (normalized HWC float32 at (height, width), original (H, W))."""
+    from PIL import Image
+
+    from fal_net_tpu.data.transforms import RGB_MEAN
+
+    im = Image.open(path).convert("RGB")
+    orig = (im.height, im.width)
+    if (im.height, im.width) != (height, width):
+        im = im.resize((width, height), Image.BILINEAR)
+    arr = np.asarray(im, np.float32) / 255.0 - RGB_MEAN
+    return arr.astype(np.float32), orig
+
+
+def restore_disparity(disp_hw: np.ndarray, orig_hw: Tuple[int, int]) -> np.ndarray:
+    """Resize a disparity map back to the original resolution, rescaling
+    values by the width ratio (disparity is in pixels of the inference
+    width)."""
+    from PIL import Image
+
+    h, w = orig_hw
+    if disp_hw.shape == (h, w):
+        return disp_hw
+    scale = w / disp_hw.shape[1]
+    im = Image.fromarray(np.asarray(disp_hw, np.float32))
+    return np.asarray(im.resize((w, h), Image.BILINEAR), np.float32) * scale
+
+
+def save_disp16(path: str, disp_hw: np.ndarray) -> None:
+    """uint16 PNG, value*256 — the KITTI disparity file convention
+    (inverse of data/datasets.py::load_kitti_disp_png)."""
+    from PIL import Image
+
+    arr = np.clip(np.asarray(disp_hw, np.float64) * 256.0, 0, 65535)
+    Image.fromarray(arr.astype(np.uint16)).save(path)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="fal_net_tpu batch inference")
+    p.add_argument("--images", required=True, help="image file or directory")
+    p.add_argument("--out_dir", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pretrained", help=".msgpack or reference .pth.tar")
+    src.add_argument("--artifact", help="AOT artifact from cli.export")
+    p.add_argument("--model", default=None, help="variant override (ckpt mode)")
+    p.add_argument("--no_levels", type=int, default=None)
+    p.add_argument("--height", type=int, default=384)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_disp", type=float, default=300.0)
+    p.add_argument("--min_disp", type=float, default=2.0)
+    p.add_argument("--ms_post_process", action="store_true")
+    p.add_argument("--colormap", action="store_true",
+                   help="also write plasma-colormap PNGs")
+    p.add_argument("--save_pc", action="store_true", help="also write .ply")
+    return p
+
+
+def _run_artifact(artifact: str, items) -> Iterator[Tuple[str, np.ndarray]]:
+    from fal_net_tpu.serve import load_exported
+
+    fwd = load_exported(artifact)
+    bs = fwd.meta["batch"]
+    names, imgs = [], []
+
+    def flush():
+        pad = bs - len(imgs)
+        batch = np.stack(imgs + [np.zeros_like(imgs[0])] * pad)
+        disp = np.asarray(fwd(batch)[0])[..., 0]
+        for i, name in enumerate(names):
+            yield name, disp[i]
+
+    for name, img in items:
+        names.append(name)
+        imgs.append(img)
+        if len(imgs) == bs:
+            yield from flush()
+            names, imgs = [], []
+    if imgs:
+        yield from flush()
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    paths = list_images(args.images)
+    if not paths:
+        raise SystemExit(f"no images under {args.images}")
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.artifact:
+        from fal_net_tpu.serve import load_exported
+
+        meta = load_exported(args.artifact).meta
+        height, width = meta["height"], meta["width"]
+    else:
+        height, width = args.height, args.width
+
+    origs = {}
+
+    def items():
+        for path in paths:
+            img, orig = load_normalized(path, height, width)
+            name = os.path.splitext(os.path.basename(path))[0]
+            origs[name] = (orig, path)
+            yield name, img
+
+    if args.artifact:
+        results = _run_artifact(args.artifact, items())
+    else:
+        from fal_net_tpu.eval.pipeline import DisparityPipeline
+        from fal_net_tpu.models import create_model
+        from fal_net_tpu.train.checkpoint import load_params_any
+
+        variables, name, levels = load_params_any(args.pretrained)
+        model = create_model(args.model or name or "B", args.no_levels or levels)
+        pipe = DisparityPipeline(
+            model,
+            variables,
+            batch_size=args.batch_size,
+            min_disp=args.min_disp,
+            max_disp=args.max_disp,
+            ms_post_process=args.ms_post_process,
+        )
+        results = pipe.run(items())
+
+    n = 0
+    for name, disp in results:
+        orig_hw, src_path = origs[name]
+        disp = restore_disparity(disp, orig_hw)
+        save_disp16(os.path.join(args.out_dir, f"{name}_disp.png"), disp)
+        if args.colormap:
+            from fal_net_tpu.eval.export import save_disparity_png
+
+            save_disparity_png(os.path.join(args.out_dir, f"{name}_cmap.png"), disp)
+        if args.save_pc:
+            from PIL import Image
+
+            from fal_net_tpu.eval.export import (
+                disparity_to_point_cloud,
+                save_point_cloud_ply,
+            )
+            from fal_net_tpu.eval.metrics import WIDTH_TO_BASELINE, WIDTH_TO_FOCAL
+
+            rgb = np.asarray(Image.open(src_path).convert("RGB"), np.float64)
+            w = disp.shape[1]
+            # KITTI camera tables when the width matches; otherwise the
+            # usual KITTI-like defaults (f ~= 0.58 * W, 54 cm baseline)
+            pc = disparity_to_point_cloud(
+                rgb,
+                disp,
+                focal=WIDTH_TO_FOCAL.get(w, 0.58 * w),
+                baseline=WIDTH_TO_BASELINE.get(w, 0.54),
+            )
+            save_point_cloud_ply(os.path.join(args.out_dir, f"{name}.ply"), pc)
+        n += 1
+    print(f"=> wrote disparities for {n} images to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
