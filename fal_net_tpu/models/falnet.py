@@ -56,8 +56,11 @@ class FalNet(nn.Module):
     # Batch-data-parallel fused head: with a mesh whose med_axis size > 1,
     # the fused MED kernel runs per-device via shard_map (pallas_call has
     # no SPMD rule; without this, sharded runs lose the 1.85x fused head).
+    # med_spatial_axis: also shard image rows over that mesh axis (all MED
+    # math is row-local, so the H-split is exact — parallel/spatial.py).
     med_mesh: Optional[jax.sharding.Mesh] = None
     med_axis: str = "data"
+    med_spatial_axis: Optional[str] = None
     med_interpret: bool = False  # interpret-mode kernel (CPU tests/dryrun)
 
     @nn.compact
@@ -123,10 +126,14 @@ class FalNet(nn.Module):
                 ret_subocc=ret_subocc,
                 interpret=self.med_interpret,
             )
-            if (
-                self.med_mesh is not None
-                and self.med_mesh.shape.get(self.med_axis, 1) > 1
-            ):
+            sharded = self.med_mesh is not None and (
+                self.med_mesh.shape.get(self.med_axis, 1) > 1
+                or (
+                    self.med_spatial_axis is not None
+                    and self.med_mesh.shape.get(self.med_spatial_axis, 1) > 1
+                )
+            )
+            if sharded:
                 return med_outputs_fused_dp(
                     logits.astype(jnp.float32),
                     left.astype(jnp.float32),
@@ -134,6 +141,7 @@ class FalNet(nn.Module):
                     max_disp,
                     mesh=self.med_mesh,
                     axis_name=self.med_axis,
+                    spatial_axis=self.med_spatial_axis,
                     **kw,
                 )
             return med_outputs_fused(
@@ -163,6 +171,7 @@ def create_model(
     s2d_tail: bool = False,
     med_mesh: Optional[jax.sharding.Mesh] = None,
     med_axis: str = "data",
+    med_spatial_axis: Optional[str] = None,
     med_interpret: bool = False,
 ) -> FalNet:
     """Build a FAL-net variant ('A' | 'B' | 'C', or reference names like
@@ -185,5 +194,6 @@ def create_model(
         s2d_tail=s2d_tail,
         med_mesh=med_mesh,
         med_axis=med_axis,
+        med_spatial_axis=med_spatial_axis,
         med_interpret=med_interpret,
     )

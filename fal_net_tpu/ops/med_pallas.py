@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -550,12 +552,13 @@ def med_outputs_fused_dp(
     *,
     mesh: jax.sharding.Mesh,
     axis_name: str = "data",
+    spatial_axis: Optional[str] = None,
     ret_disp: bool = True,
     ret_pan: bool = False,
     ret_subocc: bool = False,
     interpret: bool = False,
 ) -> MedOutputs:
-    """Batch-data-parallel fused MED head.
+    """Batch-data-parallel (optionally height-sharded) fused MED head.
 
     ``pallas_call`` has no SPMD partitioning rule, so under a sharded jit
     XLA cannot split it across devices; ``shard_map`` over the mesh's data
@@ -566,6 +569,11 @@ def med_outputs_fused_dp(
     multi-chip training.  Requires static float bounds (falls back to the
     jnp path otherwise, which XLA shards like any other op) and a batch
     divisible by the axis size.
+
+    ``spatial_axis``: additionally shard image rows over this mesh axis
+    (parallel/spatial.py meshes).  Every MED op — per-plane W-shift,
+    cross-plane softmax, blends — is row-local, so an H-split is exact
+    too; each device pads its local rows to the kernel tile independently.
     """
     if not (isinstance(min_disp, (int, float)) and isinstance(max_disp, (int, float))):
         return med_outputs(
@@ -579,6 +587,14 @@ def med_outputs_fused_dp(
         f"batch {logits.shape[0]} not divisible by mesh axis "
         f"{axis_name!r}={n_shards}"
     )
+    if spatial_axis is not None and mesh.shape.get(spatial_axis, 1) > 1:
+        n_sp = mesh.shape[spatial_axis]
+        assert logits.shape[1] % n_sp == 0, (
+            f"H={logits.shape[1]} not divisible by mesh axis "
+            f"{spatial_axis!r}={n_sp}"
+        )
+    else:
+        spatial_axis = None
     fields = [
         name
         for name, want in zip(
@@ -595,7 +611,7 @@ def med_outputs_fused_dp(
         )
         return tuple(getattr(out, name) for name in fields)
 
-    spec = P(axis_name)
+    spec = P(axis_name, spatial_axis) if spatial_axis else P(axis_name)
     outs = jax.shard_map(
         local,
         mesh=mesh,

@@ -67,17 +67,24 @@ class Trainer:
         self.mesh = mesh
         self.dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        # Pure batch-data-parallel meshes keep the fused Pallas MED head via
-        # shard_map over 'data' (pallas_call has no SPMD rule); spatially
-        # sharded meshes fall back to the jnp MED path, which XLA shards.
-        self.med_mesh = (
-            mesh
-            if mesh.shape.get("data", 1) > 1
-            and all(n == 1 for a, n in mesh.shape.items() if a != "data")
+        # Meshes over 'data' (batch) and/or 'spatial' (image rows) keep the
+        # fused Pallas MED head via shard_map (pallas_call has no SPMD
+        # rule); both splits are exact for the row-local MED math.  Any
+        # other sharded axis falls back to the jnp MED path, which XLA
+        # shards like any other op.
+        known = {"data", "spatial"}
+        sharded_axes = {a for a, n in mesh.shape.items() if n > 1}
+        self.med_mesh = mesh if sharded_axes and sharded_axes <= known else None
+        self.med_spatial_axis = (
+            "spatial" if self.med_mesh is not None and "spatial" in sharded_axes
             else None
         )
         self.model = create_model(
-            cfg.model, cfg.num_levels, dtype=self.dtype, med_mesh=self.med_mesh
+            cfg.model,
+            cfg.num_levels,
+            dtype=self.dtype,
+            med_mesh=self.med_mesh,
+            med_spatial_axis=self.med_spatial_axis,
         )
         self._external_train = train_dataset
         self._external_val = val_dataset
@@ -118,6 +125,7 @@ class Trainer:
                 t_levels or cfg.num_levels,
                 dtype=self.dtype,
                 med_mesh=self.med_mesh,
+                med_spatial_axis=self.med_spatial_axis,
             )
             self.teacher_params = t_vars
 

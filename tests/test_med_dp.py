@@ -92,3 +92,60 @@ def test_model_med_mesh_path(rng):
     np.testing.assert_allclose(
         np.asarray(got.pan), np.asarray(want.pan), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_dp_spatial_matches_unsharded(rng):
+    """2-D dp x sp mesh: batch over 'data' AND rows over 'spatial' — the
+    MED math is row-local, so the H-split must be exact (incl. per-shard
+    H padding to the kernel tile)."""
+    from fal_net_tpu.parallel.spatial import image_sharding, make_2d_mesh
+
+    logits, image = _data(rng)
+    mesh = make_2d_mesh(2, 2)
+    want = med_outputs_fused(
+        logits, image, MN, MX,
+        ret_disp=True, ret_pan=True, ret_subocc=True, interpret=True,
+    )
+    got = jax.jit(
+        lambda lg, im: med_outputs_fused_dp(
+            lg, im, MN, MX, mesh=mesh, spatial_axis="spatial",
+            ret_disp=True, ret_pan=True, ret_subocc=True, interpret=True,
+        )
+    )(
+        jax.device_put(logits, image_sharding(mesh)),
+        jax.device_put(image, image_sharding(mesh)),
+    )
+    for name in ("disp", "pan", "maskL", "maskR"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=1e-6, atol=1e-6, err_msg=name,
+        )
+
+
+def test_fused_dp_spatial_odd_local_rows(rng):
+    """Local H shards that aren't a tile multiple (16 rows / 2 shards = 8
+    = exactly one tile; use H=24 -> 12 rows/shard, forcing per-shard pad)."""
+    from fal_net_tpu.parallel.spatial import image_sharding, make_2d_mesh
+
+    h = 24
+    logits = jnp.asarray(rng.standard_normal((B, h, W, N)).astype(np.float32))
+    image = jnp.asarray(rng.standard_normal((B, h, W, C)).astype(np.float32))
+    mesh = make_2d_mesh(1, 2)
+    want = med_outputs_fused(
+        logits, image, MN, MX, ret_disp=True, ret_pan=True, interpret=True
+    )
+    got = jax.jit(
+        lambda lg, im: med_outputs_fused_dp(
+            lg, im, MN, MX, mesh=mesh, spatial_axis="spatial",
+            ret_disp=True, ret_pan=True, interpret=True,
+        )
+    )(
+        jax.device_put(logits, image_sharding(mesh)),
+        jax.device_put(image, image_sharding(mesh)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.disp), np.asarray(want.disp), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.pan), np.asarray(want.pan), rtol=1e-6, atol=1e-6
+    )
