@@ -56,6 +56,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--remat", action="store_true", help="recompute fwd in bwd")
     p.add_argument("--num_devices", type=int, default=None)
+    p.add_argument(
+        "--spatial",
+        type=int,
+        default=1,
+        help="shard image rows over this many devices (2-D dp x sp mesh)",
+    )
     return p
 
 
@@ -102,10 +108,22 @@ def main(argv=None) -> None:
     if args.val_root:
         _, val_dataset = kitti2015(args.val_root, split=0, disp=True)
 
+    mesh = None
+    if args.spatial > 1:
+        import jax
+
+        from fal_net_tpu.parallel.spatial import make_2d_mesh
+
+        total = args.num_devices or len(jax.devices())
+        assert total % args.spatial == 0, (total, args.spatial)
+        mesh = make_2d_mesh(total // args.spatial, args.spatial)
+    elif args.num_devices:
+        mesh = make_mesh(args.num_devices)
+
     trainer = Trainer(
         cfg,
         stage=stage,
-        mesh=make_mesh(args.num_devices) if args.num_devices else None,
+        mesh=mesh,
         val_dataset=val_dataset,
     )
     result = trainer.fit()

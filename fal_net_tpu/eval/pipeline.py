@@ -37,13 +37,26 @@ class DisparityPipeline:
         min_disp: float = 2.0,
         max_disp: float = 300.0,
         ms_post_process: bool = False,
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
+        """``mesh``: shard each serving batch over the mesh's 'data' axis —
+        multi-chip batched inference with params replicated (XLA partitions
+        the forward; batch_size must be divisible by the axis size)."""
         self.model = model
-        self.variables = variables
         self.batch_size = batch_size
         self.min_disp = min_disp
         self.max_disp = max_disp
         self.ms_post_process = ms_post_process
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None:
+            from fal_net_tpu.parallel.mesh import batch_sharding, replicate_sharding
+
+            n = mesh.shape.get("data", 1)
+            assert batch_size % n == 0, (batch_size, dict(mesh.shape))
+            variables = jax.device_put(variables, replicate_sharding(mesh))
+            self._sharding = batch_sharding(mesh)
+        self.variables = variables
 
     @functools.cached_property
     def _forward(self):
@@ -84,7 +97,9 @@ class DisparityPipeline:
         self, items: Iterable[Tuple[str, np.ndarray]]
     ) -> Iterator[Tuple[str, np.ndarray]]:
         """items: (name, HWC float32 normalized image) -> (name, HW disparity)."""
-        staged = prefetch_to_device(self._batches(items), size=2)
+        staged = prefetch_to_device(
+            self._batches(items), size=2, sharding=self._sharding
+        )
         for batch in staged:
             disp = self._forward(self.variables, batch["images"])
             disp_np = np.asarray(disp)[..., 0]

@@ -46,3 +46,26 @@ def test_pipeline_with_ms_pp(rng):
     items = [(str(i), rng.random((h, w, 3)).astype(np.float32) - 0.4) for i in range(3)]
     out = list(pipe.run(iter(items)))
     assert len(out) == 3 and all(np.isfinite(d).all() for _, d in out)
+
+
+def test_pipeline_sharded_matches_single_device(rng):
+    """mesh= shards each serving batch over the data axis; results must
+    match the unsharded pipeline exactly."""
+    from fal_net_tpu.parallel.mesh import make_mesh
+
+    model = create_model("tiny", 5)
+    h, w = 32, 64
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    items = [(str(i), rng.random((h, w, 3)).astype(np.float32) - 0.4)
+             for i in range(6)]
+    plain = dict(DisparityPipeline(
+        model, variables, batch_size=4, max_disp=30.0
+    ).run(iter(items)))
+    sharded = dict(DisparityPipeline(
+        model, variables, batch_size=4, max_disp=30.0, mesh=make_mesh(4)
+    ).run(iter(items)))
+    assert plain.keys() == sharded.keys()
+    for k in plain:
+        np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5, atol=1e-5)
