@@ -116,3 +116,32 @@ def test_fused_falls_back_for_traced_bounds(rng):
     )
     want = med_outputs(logits, image, 2.0, 60.0, ret_disp=True)
     np.testing.assert_allclose(np.asarray(out.disp), np.asarray(want.disp), rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "b,h,w,n,c",
+    [
+        (3, 16, 96, 2, 3),   # minimum plane count
+        (1, 3, 64, 5, 1),    # H below one tile, single-channel image
+        (2, 16, 48, 7, 4),   # W smaller than the max shift in pixels
+        (1, 8, 140, 49, 3),  # production plane count, unaligned W
+    ],
+)
+def test_fused_adversarial_shapes(rng, b, h, w, n, c):
+    """Shape fuzz: tiny plane counts, sub-tile heights, shifts that run
+    past the image width, odd channel counts — all must match the jnp
+    reference bit-for-fp32-bit through the pad/crop machinery."""
+    logits = jnp.asarray(rng.standard_normal((b, h, w, n)).astype(np.float32))
+    image = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    want = med_outputs(
+        logits, image, 2.0, 300.0, ret_disp=True, ret_pan=True, ret_subocc=True
+    )
+    got = med_outputs_fused(
+        logits, image, 2.0, 300.0,
+        ret_disp=True, ret_pan=True, ret_subocc=True, interpret=True,
+    )
+    for name in ("disp", "pan", "maskL", "maskR"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=1e-4, atol=1e-4, err_msg=f"{name} @ {(b, h, w, n, c)}",
+        )

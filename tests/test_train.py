@@ -142,3 +142,28 @@ def test_grad_accum_matches_full_batch(tmp_path):
     flat4 = jax.tree_util.tree_leaves(p4)
     for a, b in zip(flat1, flat4):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_stage2_on_2d_spatial_mesh(tmp_path):
+    """Stage-2 (frozen teacher + student + masks + mirror) over a 2-D
+    dp x sp mesh: conv halo exchanges come from the SPMD partitioner; the
+    trainer wires med_mesh/med_spatial_axis so the fused head shard_maps
+    over both axes on TPU (the fused shard_map itself is pinned in
+    test_med_dp; CPU tests run the jnp MED path)."""
+    from fal_net_tpu.parallel.spatial import make_2d_mesh
+
+    cfg1 = Stage1Config(**_tiny_cfg(epoch_size=1))
+    tr1 = Trainer(cfg1, stage="stage1", mesh=make_mesh(2),
+                  train_dataset=SyntheticStereo(n=4))
+    tr1.fit(save_path=str(tmp_path / "teacher"))
+
+    cfg2 = Stage2Config(
+        **_tiny_cfg(batch_size=4, epoch_size=2),
+        fix_model=str(tmp_path / "teacher" / "checkpoint.msgpack"),
+    )
+    mesh = make_2d_mesh(2, 2)
+    tr2 = Trainer(cfg2, stage="stage2", mesh=mesh,
+                  train_dataset=SyntheticStereo(n=8))
+    assert tr2.med_mesh is mesh and tr2.med_spatial_axis == "spatial"
+    res = tr2.fit(save_path=str(tmp_path / "student"))
+    assert np.isfinite(res["history"][0]["loss"])
