@@ -95,10 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _run_artifact(artifact: str, items) -> Iterator[Tuple[str, np.ndarray]]:
-    from fal_net_tpu.serve import load_exported
-
-    fwd = load_exported(artifact)
+def _run_artifact(fwd, items) -> Iterator[Tuple[str, np.ndarray]]:
+    """``fwd``: a loaded ``serve.load_exported`` artifact."""
     bs = fwd.meta["batch"]
     names, imgs = [], []
 
@@ -126,25 +124,36 @@ def main(argv=None) -> None:
         raise SystemExit(f"no images under {args.images}")
     os.makedirs(args.out_dir, exist_ok=True)
 
+    artifact_fwd = None
     if args.artifact:
         from fal_net_tpu.serve import load_exported
 
-        meta = load_exported(args.artifact).meta
-        height, width = meta["height"], meta["width"]
+        artifact_fwd = load_exported(args.artifact)
+        height, width = artifact_fwd.meta["height"], artifact_fwd.meta["width"]
     else:
         height, width = args.height, args.width
+
+    # Unique output names: the stem alone collides for inputs differing
+    # only by extension (img.jpg + img.png), which would restore the wrong
+    # original size and overwrite one result with the other.
+    names, seen = {}, {}
+    for path in paths:
+        stem = os.path.splitext(os.path.basename(path))[0]
+        k = seen.get(stem, 0)
+        seen[stem] = k + 1
+        names[path] = stem if k == 0 else f"{stem}.{k}"
 
     origs = {}
 
     def items():
         for path in paths:
             img, orig = load_normalized(path, height, width)
-            name = os.path.splitext(os.path.basename(path))[0]
+            name = names[path]
             origs[name] = (orig, path)
             yield name, img
 
     if args.artifact:
-        results = _run_artifact(args.artifact, items())
+        results = _run_artifact(artifact_fwd, items())
     else:
         from fal_net_tpu.eval.pipeline import DisparityPipeline
         from fal_net_tpu.models import create_model

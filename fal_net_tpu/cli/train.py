@@ -106,7 +106,9 @@ def main(argv=None) -> None:
     stage = "stage2" if args.stage == 2 else ("stage1_slow" if args.slow else "stage1")
     val_dataset = None
     if args.val_root:
-        _, val_dataset = kitti2015(args.val_root, split=0, disp=True)
+        # load_t1=False: validation reads only the _10 pair + disp GT;
+        # skipping the t+1 decode halves per-item image IO.
+        _, val_dataset = kitti2015(args.val_root, split=0, disp=True, load_t1=False)
 
     mesh = None
     if args.spatial > 1:

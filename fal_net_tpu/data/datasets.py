@@ -170,6 +170,10 @@ class StereoEvalDataset:
     items: List[Tuple[Tuple[str, ...], Optional[List[str]]]]
     target_loader: Optional[Callable[[str], np.ndarray]] = None
     target_loaders: Optional[List[Optional[Callable[[str], np.ndarray]]]] = None
+    # Decode the t+1 stereo pair of scene-flow items.  Disparity-only
+    # consumers (Trainer.validate, the KITTI-2015 Evaluator) never read it;
+    # skipping halves their per-item image IO.
+    load_t1: bool = True
 
     def __len__(self) -> int:
         return len(self.items)
@@ -182,7 +186,7 @@ class StereoEvalDataset:
             "right": normalize(_imread(os.path.join(self.root, rp))),
             "name": os.path.basename(lp)[:-4],
         }
-        if len(paths) >= 4:
+        if len(paths) >= 4 and self.load_t1:
             sample["left_t1"] = normalize(_imread(os.path.join(self.root, paths[2])))
             sample["right_t1"] = normalize(_imread(os.path.join(self.root, paths[3])))
         if targets:
@@ -230,7 +234,9 @@ def kitti_train(
     return mk(train), StereoTrainDataset(root, test, None, max_pix, fix)
 
 
-def kitti2015(root: str, split=0.0, disp: bool = True, of: bool = False):
+def kitti2015(
+    root: str, split=0.0, disp: bool = True, of: bool = False, load_t1: bool = True
+):
     """KITTI 2015 scene-flow (Kitti2015.py:26-96).
 
     disp or of (scene-flow mode, Kitti2015.py:36-52): 200 ``training``
@@ -258,11 +264,29 @@ def kitti2015(root: str, split=0.0, disp: bool = True, of: bool = False):
             d = os.path.join("training", "disp_occ_0", f"{i:06d}_10.png")
             f = os.path.join("training", "flow_occ", f"{i:06d}_10.png")
             items.append((paths, [d, f]))
+        if not items:
+            # Reference semantics skip items missing ANY of the 4 frames
+            # (Kitti2015.py:44-49); a pruned directory holding only the _10
+            # pairs + disp GT would otherwise silently evaluate 0 samples.
+            probe = os.path.join(root, "training", "image_2", "000000_10.png")
+            if os.path.isfile(probe):
+                import warnings
+
+                warnings.warn(
+                    f"kitti2015: scene-flow mode found _10 frames under "
+                    f"{root} but no complete (_10, _11) quadruples - the "
+                    "reference requires all 4 images per item "
+                    "(Kitti2015.py:44-49). The validation set is EMPTY; "
+                    "restore the _11 frames or use disp=False of=False "
+                    "(GT-free mode)."
+                )
         loaders = [
             load_kitti_disp_png if disp else None,
             load_kitti_flow_png if of else None,
         ]
-        mk = lambda lst: StereoEvalDataset(root, lst, target_loaders=loaders)
+        mk = lambda lst: StereoEvalDataset(
+            root, lst, target_loaders=loaders, load_t1=load_t1
+        )
         train, test = split2list(items, split)
         return mk(train), mk(test)
 

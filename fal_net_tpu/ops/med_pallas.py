@@ -583,18 +583,20 @@ def med_outputs_fused_dp(
     from jax.sharding import PartitionSpec as P
 
     n_shards = mesh.shape[axis_name]
-    assert logits.shape[0] % n_shards == 0, (
-        f"batch {logits.shape[0]} not divisible by mesh axis "
-        f"{axis_name!r}={n_shards}"
-    )
-    if spatial_axis is not None and mesh.shape.get(spatial_axis, 1) > 1:
-        n_sp = mesh.shape[spatial_axis]
-        assert logits.shape[1] % n_sp == 0, (
-            f"H={logits.shape[1]} not divisible by mesh axis "
-            f"{spatial_axis!r}={n_sp}"
-        )
-    else:
+    if spatial_axis is not None and mesh.shape.get(spatial_axis, 1) <= 1:
         spatial_axis = None
+    # Indivisible shapes (e.g. the batch-1 validation forward on a model
+    # built with a training mesh, or full-size KITTI heights on a spatial
+    # mesh) can't shard_map; fall back to the jnp path, which XLA places
+    # or partitions like any other op instead of crashing the run.
+    if logits.shape[0] % n_shards != 0 or (
+        spatial_axis is not None
+        and logits.shape[1] % mesh.shape[spatial_axis] != 0
+    ):
+        return med_outputs(
+            logits, image, min_disp, max_disp,
+            ret_disp=ret_disp, ret_pan=ret_pan, ret_subocc=ret_subocc,
+        )
     fields = [
         name
         for name, want in zip(

@@ -14,9 +14,11 @@ P('data', 'spatial') — batch over data, rows over spatial; params
 replicated.  The MED head's shifts act on W (unsharded), so only the
 backbone's H-convolutions introduce collectives, and those ride ICI.
 
-The fused Pallas MED kernel has no SPMD partitioning rule, so spatially
-sharded runs use the jnp MED path (``med_impl='reference'``, XLA shards it
-like any other op).
+The fused Pallas MED kernel has no SPMD partitioning rule, but it rides
+('data', 'spatial') meshes via ``shard_map`` — every MED op is row-local,
+so the H-split is exact (``ops/med_pallas.py::med_outputs_fused_dp`` with
+``spatial_axis``; wired by FalNet's ``med_spatial_axis``).  Only traced
+per-sample bounds or indivisible shapes fall back to the jnp path.
 """
 
 from __future__ import annotations

@@ -149,3 +149,56 @@ def test_fused_dp_spatial_odd_local_rows(rng):
     np.testing.assert_allclose(
         np.asarray(got.pan), np.asarray(want.pan), rtol=1e-6, atol=1e-6
     )
+
+
+def test_fused_dp_indivisible_batch_falls_back(rng):
+    """A model built with a training mesh must survive the batch-1
+    validation forward: indivisible batch (or H) falls back to the jnp
+    path instead of tripping a shard_map divisibility assert (found in
+    review: multi-chip training crashed at the first validation epoch)."""
+    mesh = make_mesh(4)
+    logits = jnp.asarray(rng.standard_normal((1, H, W, N)).astype(np.float32))
+    image = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+    want = med_outputs_fused(
+        logits, image, MN, MX, ret_disp=True, ret_pan=True, interpret=True
+    )
+    got = med_outputs_fused_dp(
+        logits, image, MN, MX, mesh=mesh,
+        ret_disp=True, ret_pan=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.disp), np.asarray(want.disp), rtol=1e-4, atol=1e-4
+    )
+    # spatial axis indivisible (H=16 over 3... use H not divisible by sp)
+    from fal_net_tpu.parallel.spatial import make_2d_mesh
+
+    mesh2 = make_2d_mesh(1, 2)
+    lg = jnp.asarray(rng.standard_normal((2, 15, W, N)).astype(np.float32))
+    im = jnp.asarray(rng.standard_normal((2, 15, W, C)).astype(np.float32))
+    want2 = med_outputs_fused(lg, im, MN, MX, ret_disp=True, interpret=True)
+    got2 = med_outputs_fused_dp(
+        lg, im, MN, MX, mesh=mesh2, spatial_axis="spatial",
+        ret_disp=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2.disp), np.asarray(want2.disp), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_model_med_mesh_batch1_validation_path(rng):
+    """FalNet with med_mesh + fused: the batch-1 eval forward (pan+masks,
+    as Trainer.validate issues it) runs and matches the reference path."""
+    mesh = make_mesh(4)
+    model = create_model(
+        "tiny", 5, med_impl="fused", med_mesh=mesh, med_interpret=True
+    )
+    model_ref = create_model("tiny", 5, med_impl="reference")
+    x = jnp.asarray(rng.standard_normal((1, 16, 32, 3)).astype(np.float32) * 0.3)
+    v = model_ref.init(jax.random.PRNGKey(0), x, MN, MX, ret_disp=True)
+    want = model_ref.apply(v, x, MN, MX, ret_disp=True, ret_pan=True, ret_subocc=True)
+    got = model.apply(v, x, MN, MX, ret_disp=True, ret_pan=True, ret_subocc=True)
+    for name in ("disp", "pan", "maskL", "maskR"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, name)), np.asarray(getattr(want, name)),
+            rtol=1e-4, atol=1e-4, err_msg=name,
+        )
