@@ -19,7 +19,7 @@ import dataclasses
 import functools
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

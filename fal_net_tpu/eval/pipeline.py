@@ -14,7 +14,6 @@ import functools
 from typing import Iterable, Iterator, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from fal_net_tpu.data.loader import prefetch_to_device

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
