@@ -37,18 +37,23 @@ def list_images(root: str) -> List[str]:
     return out
 
 
-def load_normalized(path: str, height: int, width: int):
-    """-> (normalized HWC float32 at (height, width), original (H, W))."""
+def load_uint8(path: str, height: int, width: int):
+    """-> (HWC uint8 RGB at (height, width), original (H, W))."""
     from PIL import Image
-
-    from fal_net_tpu.data.transforms import RGB_MEAN
 
     im = Image.open(path).convert("RGB")
     orig = (im.height, im.width)
     if (im.height, im.width) != (height, width):
         im = im.resize((width, height), Image.BILINEAR)
-    arr = np.asarray(im, np.float32) / 255.0 - RGB_MEAN
-    return arr.astype(np.float32), orig
+    return np.asarray(im, np.uint8), orig
+
+
+def load_normalized(path: str, height: int, width: int):
+    """-> (normalized HWC float32 at (height, width), original (H, W))."""
+    from fal_net_tpu.data.transforms import RGB_MEAN
+
+    arr, orig = load_uint8(path, height, width)
+    return (arr.astype(np.float32) / 255.0 - RGB_MEAN).astype(np.float32), orig
 
 
 def restore_disparity(disp_hw: np.ndarray, orig_hw: Tuple[int, int]) -> np.ndarray:
@@ -145,15 +150,17 @@ def main(argv=None) -> None:
 
     origs = {}
 
-    def items():
+    def items(raw_uint8: bool):
+        loader = load_uint8 if raw_uint8 else load_normalized
         for path in paths:
-            img, orig = load_normalized(path, height, width)
+            img, orig = loader(path, height, width)
             name = names[path]
             origs[name] = (orig, path)
             yield name, img
 
     if args.artifact:
-        results = _run_artifact(artifact_fwd, items())
+        # the artifact's input signature is normalized fp32
+        results = _run_artifact(artifact_fwd, items(raw_uint8=False))
     else:
         from fal_net_tpu.eval.pipeline import DisparityPipeline
         from fal_net_tpu.models import create_model
@@ -168,8 +175,15 @@ def main(argv=None) -> None:
             min_disp=args.min_disp,
             max_disp=args.max_disp,
             ms_post_process=args.ms_post_process,
+            # the outputs below are written as uint16 disp*256 PNGs, so
+            # fetching device-quantized uint16 is lossless here and halves
+            # the device->host bytes
+            quantize_uint16=True,
+            # raw uint8 upload + on-device /255 - mean: 4x fewer H2D
+            # bytes, same normalization math (fp32, 1-ulp of the host path)
+            device_normalize=True,
         )
-        results = pipe.run(items())
+        results = pipe.run(items(raw_uint8=True))
 
     n = 0
     for name, disp in results:

@@ -14,6 +14,7 @@ import functools
 from typing import Iterable, Iterator, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from fal_net_tpu.data.loader import prefetch_to_device
@@ -37,15 +38,31 @@ class DisparityPipeline:
         max_disp: float = 300.0,
         ms_post_process: bool = False,
         mesh: Optional[jax.sharding.Mesh] = None,
+        quantize_uint16: bool = False,
+        device_normalize: bool = False,
     ):
         """``mesh``: shard each serving batch over the mesh's 'data' axis —
         multi-chip batched inference with params replicated (XLA partitions
-        the forward; batch_size must be divisible by the axis size)."""
+        the forward; batch_size must be divisible by the axis size).
+
+        ``quantize_uint16``: fetch disparities as on-device-quantized
+        ``round(disp * 256)`` uint16 (the KITTI disparity-PNG fixed-point
+        format) instead of fp32 — halves device->host bytes, which is the
+        serving wall when the host link is slow; yields float arrays with
+        1/256 px resolution.
+
+        ``device_normalize``: items are raw uint8 HWC RGB; the /255 − mean
+        normalization runs on device in fp32 (equal to host normalization
+        to 1 ulp of the mean subtraction) and the host->device copy
+        shrinks 4x — uploads are the dominant serving cost on a slow host
+        link, and serving inputs are uint8 anyway."""
         self.model = model
         self.batch_size = batch_size
         self.min_disp = min_disp
         self.max_disp = max_disp
         self.ms_post_process = ms_post_process
+        self.quantize_uint16 = quantize_uint16
+        self.device_normalize = device_normalize
         self.mesh = mesh
         self._sharding = None
         if mesh is not None:
@@ -64,24 +81,45 @@ class DisparityPipeline:
                 variables, images, self.min_disp, self.max_disp, ret_disp=True
             ).disp
 
+        def prep(images):
+            # runs once per batch, BEFORE any post-process second pass —
+            # the ms-pp recursion sees already-normalized float images
+            if self.device_normalize:
+                from fal_net_tpu.data.transforms import RGB_MEAN
+
+                images = images.astype(jnp.float32) / 255.0 - jnp.asarray(
+                    RGB_MEAN, jnp.float32
+                )
+            return images
+
         if not self.ms_post_process:
-            return jax.jit(disp_fn)
+            def fwd(variables, images):
+                return disp_fn(variables, prep(images))
+        else:
+            from fal_net_tpu.eval.postprocess import ms_post_process
 
-        from fal_net_tpu.eval.postprocess import ms_post_process
+            def fwd(variables, images):
+                images = prep(images)
+                disp = disp_fn(variables, images)
+                return ms_post_process(
+                    images, lambda im: disp_fn(variables, im), disp
+                )
 
-        def with_pp(variables, images):
-            disp = disp_fn(variables, images)
-            return ms_post_process(
-                images, lambda im: disp_fn(variables, im), disp
-            )
+        if self.quantize_uint16:
+            inner = fwd
 
-        return jax.jit(with_pp)
+            def fwd(variables, images):
+                d = inner(variables, images)
+                return jnp.round(d * 256.0).clip(0, 65535).astype(jnp.uint16)
+
+        return jax.jit(fwd)
 
     def _batches(self, items: Iterable[Tuple[str, np.ndarray]]):
+        dtype = np.uint8 if self.device_normalize else np.float32
         names, imgs = [], []
         for name, img in items:
             names.append(name)
-            imgs.append(np.asarray(img, np.float32))
+            imgs.append(np.asarray(img, dtype))
             if len(imgs) == self.batch_size:
                 yield {"names": names, "images": np.stack(imgs)}
                 names, imgs = [], []
@@ -92,15 +130,30 @@ class DisparityPipeline:
                 "images": np.stack(imgs + [np.zeros_like(imgs[0])] * pad),
             }
 
+    def _fetch(self, names, disp):
+        disp_np = np.asarray(disp)[..., 0]
+        if disp_np.dtype == np.uint16:
+            disp_np = disp_np.astype(np.float32) / 256.0
+        for i, name in enumerate(names):
+            yield name, disp_np[i]
+
     def run(
         self, items: Iterable[Tuple[str, np.ndarray]]
     ) -> Iterator[Tuple[str, np.ndarray]]:
-        """items: (name, HWC float32 normalized image) -> (name, HW disparity)."""
+        """items: (name, HWC image) -> (name, HW disparity).  Images are
+        /255−mean normalized float32, or raw uint8 RGB with
+        ``device_normalize=True``."""
         staged = prefetch_to_device(
             self._batches(items), size=2, sharding=self._sharding
         )
+        # One batch of latency in exchange for overlap: dispatch the next
+        # forward (async under jax) before blocking on the previous batch's
+        # device->host fetch, so compute and the output link run together.
+        pending = None
         for batch in staged:
             disp = self._forward(self.variables, batch["images"])
-            disp_np = np.asarray(disp)[..., 0]
-            for i, name in enumerate(batch["names"]):
-                yield name, disp_np[i]
+            if pending is not None:
+                yield from self._fetch(*pending)
+            pending = (batch["names"], disp)
+        if pending is not None:
+            yield from self._fetch(*pending)

@@ -56,7 +56,9 @@ def probe_full(dtype, batch, s2d_stem=True):
     model = create_model("B", 49, dtype=dtype, s2d_stem=s2d_stem)
     rng = np.random.default_rng(0)
     left = jnp.asarray(rng.standard_normal((batch, H, W, 3)).astype(np.float32) * 0.3)
-    variables = model.init(jax.random.PRNGKey(0), left, 2.0, 300.0, ret_disp=True)
+    # init at batch 1: eager init keeps every intermediate alive and OOMs
+    # at 384x1280 b16+; the jitted forward itself fits fine
+    variables = model.init(jax.random.PRNGKey(0), left[:1], 2.0, 300.0, ret_disp=True)
 
     def fwd(v, x):
         return model.apply(v, x, 2.0, 300.0, ret_disp=True).disp

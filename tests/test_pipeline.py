@@ -69,3 +69,52 @@ def test_pipeline_sharded_matches_single_device(rng):
     assert plain.keys() == sharded.keys()
     for k in plain:
         np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_quantize_uint16(rng):
+    """quantize_uint16 fetches disp as on-device round(d*256) uint16 (the
+    KITTI PNG fixed-point format, half the D2H bytes) and yields floats at
+    1/256 px resolution."""
+    model = create_model("tiny", 5)
+    h, w = 32, 64
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    items = [(str(i), rng.random((h, w, 3)).astype(np.float32) - 0.4)
+             for i in range(5)]
+    exact = dict(DisparityPipeline(
+        model, variables, batch_size=2, max_disp=30.0
+    ).run(iter(items)))
+    quant = dict(DisparityPipeline(
+        model, variables, batch_size=2, max_disp=30.0, quantize_uint16=True
+    ).run(iter(items)))
+    assert exact.keys() == quant.keys()
+    for k in exact:
+        assert quant[k].dtype == np.float32
+        np.testing.assert_allclose(quant[k], exact[k], atol=0.5 / 256 + 1e-6)
+
+
+def test_pipeline_device_normalize_bitwise(rng):
+    """device_normalize=True uploads raw uint8 and normalizes on device.
+    The host path's mean subtraction rounds through float64 (numpy
+    promotion), so inputs differ by <=1 ulp; outputs agree to fp32
+    noise."""
+    from fal_net_tpu.data.transforms import RGB_MEAN
+
+    model = create_model("tiny", 5)
+    h, w = 32, 64
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    raw = [(str(i), (rng.random((h, w, 3)) * 255).astype(np.uint8))
+           for i in range(5)]
+    norm = [(k, (v.astype(np.float32) / 255.0 - RGB_MEAN).astype(np.float32))
+            for k, v in raw]
+    host = dict(DisparityPipeline(
+        model, variables, batch_size=2, max_disp=30.0
+    ).run(iter(norm)))
+    dev = dict(DisparityPipeline(
+        model, variables, batch_size=2, max_disp=30.0, device_normalize=True
+    ).run(iter(raw)))
+    for k in host:
+        np.testing.assert_allclose(dev[k], host[k], rtol=2e-5, atol=2e-4)
