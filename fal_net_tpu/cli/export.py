@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min_disp", type=float, default=2.0)
     p.add_argument("--pan", action="store_true", help="also emit the pan view")
     p.add_argument("--subocc", action="store_true", help="also emit maskL/maskR")
+    p.add_argument(
+        "--uint8_input",
+        action="store_true",
+        help="artifact takes raw uint8 RGB, normalizes on device (4x "
+        "smaller uploads)",
+    )
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms")
     p.add_argument("--out", required=True)
@@ -52,6 +58,7 @@ def main(argv=None) -> None:
         ret_pan=args.pan,
         ret_subocc=args.subocc,
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
+        uint8_input=args.uint8_input,
     )
     save_exported(args.out, blob)
     print(f"=> exported {len(blob)} bytes to {args.out}")

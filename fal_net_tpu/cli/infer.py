@@ -159,8 +159,10 @@ def main(argv=None) -> None:
             yield name, img
 
     if args.artifact:
-        # the artifact's input signature is normalized fp32
-        results = _run_artifact(artifact_fwd, items(raw_uint8=False))
+        # the artifact metadata records its input signature: raw uint8
+        # (normalize baked in) or host-normalized fp32
+        raw = artifact_fwd.meta.get("input") == "uint8"
+        results = _run_artifact(artifact_fwd, items(raw_uint8=raw))
     else:
         from fal_net_tpu.eval.pipeline import DisparityPipeline
         from fal_net_tpu.models import create_model

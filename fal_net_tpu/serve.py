@@ -44,6 +44,7 @@ def export_forward(
     ret_pan: bool = False,
     ret_subocc: bool = False,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    uint8_input: bool = False,
 ) -> bytes:
     """Serialize the jitted forward at a fixed shape, weights baked in.
 
@@ -51,6 +52,11 @@ def export_forward(
     the artifact contains no backend-specific custom calls and loads on
     every listed platform; disp-only inference never used the fused Pallas
     head anyway (models/falnet.py).
+
+    ``uint8_input``: the artifact takes raw uint8 HWC RGB and applies the
+    /255 − mean normalization on device — 4x smaller uploads on the
+    serving host link, and serving inputs are uint8 anyway.  Recorded in
+    the metadata as ``input: "uint8"``.
     """
     portable = type(model)(
         spec=model.spec,
@@ -62,6 +68,12 @@ def export_forward(
     )
 
     def fwd(left):
+        if uint8_input:
+            from fal_net_tpu.data.transforms import RGB_MEAN
+
+            left = left.astype(jnp.float32) / 255.0 - jnp.asarray(
+                RGB_MEAN, jnp.float32
+            )
         out = portable.apply(
             variables,
             left,
@@ -78,7 +90,8 @@ def export_forward(
             res.extend([out.maskL, out.maskR])
         return tuple(res)
 
-    spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
+    in_dtype = jnp.uint8 if uint8_input else jnp.float32
+    spec = jax.ShapeDtypeStruct((batch, height, width, 3), in_dtype)
     exported = jax_export.export(jax.jit(fwd), platforms=tuple(platforms))(spec)
     meta = {
         "batch": batch,
@@ -92,6 +105,7 @@ def export_forward(
         "platforms": list(platforms),
         "variant": model.spec.name,
         "num_levels": model.num_levels,
+        "input": "uint8" if uint8_input else "float32_normalized",
     }
     meta_blob = json.dumps(meta).encode()
     return (

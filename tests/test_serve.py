@@ -86,3 +86,58 @@ def test_export_cli(tmp_path, tiny):
     fwd = load_exported(out)
     (disp,) = fwd(x)
     assert np.isfinite(np.asarray(disp)).all()
+
+
+def test_export_uint8_input(tmp_path, tiny):
+    """uint8_input artifacts take raw RGB and bake the /255 − mean
+    normalization in; outputs match the live model fed host-normalized
+    floats (to 1 ulp of the float64 mean subtraction)."""
+    model, variables, x = tiny
+    blob = export_forward(
+        model, variables, batch=1, height=16, width=32,
+        min_disp=2.0, max_disp=30.0, platforms=("cpu",), uint8_input=True,
+    )
+    path = str(tmp_path / "tiny_u8.jaxexp")
+    save_exported(path, blob)
+    fwd = load_exported(path)
+    assert fwd.meta["input"] == "uint8"
+
+    from fal_net_tpu.data.transforms import RGB_MEAN
+
+    raw = (np.random.default_rng(3).random((1, 16, 32, 3)) * 255).astype(np.uint8)
+    (disp,) = fwd(jnp.asarray(raw))
+    norm = jnp.asarray(
+        (raw.astype(np.float32) / 255.0 - RGB_MEAN).astype(np.float32)
+    )
+    ref = model.apply(variables, norm, 2.0, 30.0, ret_disp=True).disp
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_infer_cli_uint8_artifact(tmp_path, tiny):
+    """cli.infer auto-detects a uint8-input artifact from its metadata."""
+    from flax import serialization
+
+    model, variables, x = tiny
+    ckpt = tmp_path / "tiny.msgpack"
+    with open(ckpt, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(variables)))
+    from fal_net_tpu.cli.export import main as export_main
+    from fal_net_tpu.cli.infer import main as infer_main
+    from PIL import Image
+
+    art = str(tmp_path / "tiny_u8.jaxexp")
+    export_main([
+        "--pretrained", str(ckpt), "--model", "tiny", "--no_levels", "5",
+        "--batch", "2", "--height", "16", "--width", "32",
+        "--max_disp", "30.0", "--platforms", "cpu", "--uint8_input",
+        "--out", art,
+    ])
+    d = tmp_path / "frames"
+    d.mkdir()
+    arr = (np.random.default_rng(0).random((16, 32, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(d / "a.png")
+    out = str(tmp_path / "out_u8")
+    infer_main(["--images", str(d), "--out_dir", out, "--artifact", art])
+    import os
+
+    assert os.path.isfile(os.path.join(out, "a_disp.png"))
