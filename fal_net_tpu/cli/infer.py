@@ -50,10 +50,10 @@ def load_uint8(path: str, height: int, width: int):
 
 def load_normalized(path: str, height: int, width: int):
     """-> (normalized HWC float32 at (height, width), original (H, W))."""
-    from fal_net_tpu.data.transforms import RGB_MEAN
+    from fal_net_tpu.data.transforms import normalize
 
     arr, orig = load_uint8(path, height, width)
-    return (arr.astype(np.float32) / 255.0 - RGB_MEAN).astype(np.float32), orig
+    return normalize(arr), orig
 
 
 def restore_disparity(disp_hw: np.ndarray, orig_hw: Tuple[int, int]) -> np.ndarray:
@@ -72,7 +72,9 @@ def restore_disparity(disp_hw: np.ndarray, orig_hw: Tuple[int, int]) -> np.ndarr
 
 def save_disp16(path: str, disp_hw: np.ndarray) -> None:
     """uint16 PNG, value*256 — the KITTI disparity file convention
-    (inverse of data/datasets.py::load_kitti_disp_png)."""
+    (inverse of data/datasets.py::load_kitti_disp_png).  The format's
+    inherent ceiling is 65535/256 = 255.996 px; real KITTI disparities
+    stay well under it, but values above are clipped."""
     from PIL import Image
 
     arr = np.clip(np.asarray(disp_hw, np.float64) * 256.0, 0, 65535)
@@ -94,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_disp", type=float, default=300.0)
     p.add_argument("--min_disp", type=float, default=2.0)
     p.add_argument("--ms_post_process", action="store_true")
+    p.add_argument(
+        "--quantize_transfer",
+        action="store_true",
+        help="fetch disparities as device-quantized uint16 (half the "
+        "device->host bytes). Quantizes to 1/256 px AT THE INFERENCE "
+        "RESOLUTION and caps values at 255.996 px, so leave this off "
+        "when inputs are resized or disparities can exceed 256",
+    )
     p.add_argument("--colormap", action="store_true",
                    help="also write plasma-colormap PNGs")
     p.add_argument("--save_pc", action="store_true", help="also write .ply")
@@ -140,13 +150,18 @@ def main(argv=None) -> None:
 
     # Unique output names: the stem alone collides for inputs differing
     # only by extension (img.jpg + img.png), which would restore the wrong
-    # original size and overwrite one result with the other.
-    names, seen = {}, {}
+    # original size and overwrite one result with the other.  Suffixes are
+    # checked against the used set too — 'img.1' could otherwise collide
+    # with a real file named img.1.png.
+    names, used = {}, set()
     for path in paths:
         stem = os.path.splitext(os.path.basename(path))[0]
-        k = seen.get(stem, 0)
-        seen[stem] = k + 1
-        names[path] = stem if k == 0 else f"{stem}.{k}"
+        name, k = stem, 0
+        while name in used:
+            k += 1
+            name = f"{stem}.{k}"
+        used.add(name)
+        names[path] = name
 
     origs = {}
 
@@ -177,10 +192,10 @@ def main(argv=None) -> None:
             min_disp=args.min_disp,
             max_disp=args.max_disp,
             ms_post_process=args.ms_post_process,
-            # the outputs below are written as uint16 disp*256 PNGs, so
-            # fetching device-quantized uint16 is lossless here and halves
-            # the device->host bytes
-            quantize_uint16=True,
+            # opt-in: quantization happens BEFORE the width-ratio rescale
+            # below and caps at 255.996 px, so it is only safe when images
+            # run at native size with sub-256 disparities (see --help)
+            quantize_uint16=args.quantize_transfer,
             # raw uint8 upload + on-device /255 - mean: 4x fewer H2D
             # bytes, same normalization math (fp32, 1-ulp of the host path)
             device_normalize=True,

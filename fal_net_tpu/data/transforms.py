@@ -143,3 +143,12 @@ def normalize(image: np.ndarray) -> np.ndarray:
 
 def denormalize(image: np.ndarray) -> np.ndarray:
     return np.clip((np.asarray(image, np.float32) + RGB_MEAN) * 255.0, 0, 255)
+
+
+def normalize_device(image):
+    """jnp version of :func:`normalize` for on-device normalization of raw
+    uint8 batches (serve.py, eval/pipeline.py).  One definition so the
+    recipe can never drift between the host and device paths."""
+    import jax.numpy as jnp
+
+    return image.astype(jnp.float32) / 255.0 - jnp.asarray(RGB_MEAN, jnp.float32)

@@ -49,7 +49,8 @@ class DisparityPipeline:
         ``round(disp * 256)`` uint16 (the KITTI disparity-PNG fixed-point
         format) instead of fp32 — halves device->host bytes, which is the
         serving wall when the host link is slow; yields float arrays with
-        1/256 px resolution.
+        1/256 px resolution, CAPPED at 65535/256 = 255.996 px (don't use
+        when disparities can exceed that, e.g. max_disp=300 close-range).
 
         ``device_normalize``: items are raw uint8 HWC RGB; the /255 − mean
         normalization runs on device in fp32 (equal to host normalization
@@ -85,11 +86,9 @@ class DisparityPipeline:
             # runs once per batch, BEFORE any post-process second pass —
             # the ms-pp recursion sees already-normalized float images
             if self.device_normalize:
-                from fal_net_tpu.data.transforms import RGB_MEAN
+                from fal_net_tpu.data.transforms import normalize_device
 
-                images = images.astype(jnp.float32) / 255.0 - jnp.asarray(
-                    RGB_MEAN, jnp.float32
-                )
+                images = normalize_device(images)
             return images
 
         if not self.ms_post_process:
@@ -118,8 +117,17 @@ class DisparityPipeline:
         dtype = np.uint8 if self.device_normalize else np.float32
         names, imgs = [], []
         for name, img in items:
+            img = np.asarray(img)
+            if self.device_normalize and img.dtype != np.uint8:
+                # a silent float->uint8 cast would wrap negatives into
+                # garbage; callers enabling device_normalize must feed raw
+                # uint8 RGB, not pre-normalized floats
+                raise TypeError(
+                    f"device_normalize=True expects uint8 images, got "
+                    f"{img.dtype} for {name!r}"
+                )
             names.append(name)
-            imgs.append(np.asarray(img, dtype))
+            imgs.append(img.astype(dtype))
             if len(imgs) == self.batch_size:
                 yield {"names": names, "images": np.stack(imgs)}
                 names, imgs = [], []

@@ -585,14 +585,15 @@ def med_outputs_fused_dp(
     n_shards = mesh.shape[axis_name]
     if spatial_axis is not None and mesh.shape.get(spatial_axis, 1) <= 1:
         spatial_axis = None
-    # Indivisible shapes (e.g. the batch-1 validation forward on a model
-    # built with a training mesh, or full-size KITTI heights on a spatial
-    # mesh) can't shard_map; fall back to the jnp path, which XLA places
-    # or partitions like any other op instead of crashing the run.
-    if logits.shape[0] % n_shards != 0 or (
-        spatial_axis is not None
-        and logits.shape[1] % mesh.shape[spatial_axis] != 0
-    ):
+    # An indivisible H (full-size KITTI heights like 375 on a spatial
+    # mesh) only disables the H-split — the batch-sharded fused kernel is
+    # still exact.  An indivisible batch (e.g. the batch-1 validation
+    # forward on a model built with a training mesh) can't shard_map at
+    # all; fall back to the jnp path, which XLA places or partitions like
+    # any other op instead of crashing the run.
+    if spatial_axis is not None and logits.shape[1] % mesh.shape[spatial_axis] != 0:
+        spatial_axis = None
+    if logits.shape[0] % n_shards != 0:
         return med_outputs(
             logits, image, min_disp, max_disp,
             ret_disp=ret_disp, ret_pan=ret_pan, ret_subocc=ret_subocc,

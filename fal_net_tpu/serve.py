@@ -69,11 +69,9 @@ def export_forward(
 
     def fwd(left):
         if uint8_input:
-            from fal_net_tpu.data.transforms import RGB_MEAN
+            from fal_net_tpu.data.transforms import normalize_device
 
-            left = left.astype(jnp.float32) / 255.0 - jnp.asarray(
-                RGB_MEAN, jnp.float32
-            )
+            left = normalize_device(left)
         out = portable.apply(
             variables,
             left,

@@ -91,3 +91,27 @@ def test_infer_cli_artifact(tmp_path, tiny_ckpt, image_dir):
     )[0, ..., 0]
     got = load_kitti_disp_png(os.path.join(out, "a_disp.png"))[..., 0]
     np.testing.assert_allclose(got, ref, atol=1 / 256 + 1e-4)
+
+
+def test_infer_cli_name_collisions(tmp_path, tiny_ckpt):
+    """img.1.png, img.jpg, img.png must produce three distinct outputs
+    with the right geometry each (suffixed names are checked against the
+    used set, so 'img.1' can't collide with the real file img.1.png)."""
+    from fal_net_tpu.cli.infer import main as infer_main
+
+    ckpt, _, _ = tiny_ckpt
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for fname in ("img.1.png", "img.jpg", "img.png"):
+        arr = (rng.random((16, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / fname)
+    out = str(tmp_path / "out")
+    infer_main([
+        "--images", str(d), "--out_dir", out,
+        "--pretrained", ckpt, "--model", "tiny", "--no_levels", "5",
+        "--height", "16", "--width", "32",
+        "--max_disp", "30.0", "--batch_size", "2",
+    ])
+    written = sorted(f for f in os.listdir(out) if f.endswith("_disp.png"))
+    assert len(written) == 3, written

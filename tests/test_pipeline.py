@@ -118,3 +118,21 @@ def test_pipeline_device_normalize_bitwise(rng):
     ).run(iter(raw)))
     for k in host:
         np.testing.assert_allclose(dev[k], host[k], rtol=2e-5, atol=2e-4)
+
+
+def test_pipeline_device_normalize_rejects_floats(rng):
+    """Feeding pre-normalized floats with device_normalize=True must raise,
+    not silently wrap negatives into uint8 garbage."""
+    import pytest
+
+    model = create_model("tiny", 5)
+    h, w = 32, 64
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    pipe = DisparityPipeline(
+        model, variables, batch_size=2, max_disp=30.0, device_normalize=True
+    )
+    bad = [("x", rng.random((h, w, 3)).astype(np.float32) - 0.4)]
+    with pytest.raises(TypeError, match="expects uint8"):
+        list(pipe.run(iter(bad)))
