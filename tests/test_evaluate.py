@@ -84,3 +84,37 @@ def test_flip_pp_path(tmp_path):
     )
     metrics = Evaluator(model, variables, cfg).run(SyntheticEval(n=1))
     assert np.isfinite(metrics["abs_rel"])
+
+
+class SyntheticMake3D:
+    """Make3D-protocol samples: dense depth GT (the .mat Position3DGrid
+    depth channel), 1704x2272-ish geometry scaled down for the test."""
+
+    def __init__(self, n=2, h=64, w=256):
+        self.n, self.h, self.w = n, h, w
+
+    def __len__(self):
+        return self.n
+
+    def get(self, index, rng=None):
+        r = np.random.default_rng(index)
+        left = r.random((self.h, self.w, 3)).astype(np.float32) - 0.5
+        depth = (r.random((self.h, self.w, 1)) * 60 + 2).astype(np.float32)
+        return {"left": left, "right": left, "targets": [depth], "name": f"m{index}"}
+
+
+def test_evaluator_make3d_branch(tmp_path):
+    """The Make3D Evaluator branch (median scaling, 70 m cap, log10 —
+    evaluate.py Make3D arm) runs end-to-end and emits the metric suite."""
+    model, variables = _make_model()
+    cfg = EvalConfig(
+        dataset="Make3D",
+        ms_post_process=False,
+        save_path=str(tmp_path),
+        print_freq=1,
+    )
+    metrics = Evaluator(model, variables, cfg).run(SyntheticMake3D())
+    for k in ("abs_rel", "rms", "sec_per_image"):
+        assert k in metrics, k
+        assert np.isfinite(metrics[k]), k
+    assert os.path.isfile(tmp_path / "errors.txt")
