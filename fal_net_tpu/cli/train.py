@@ -44,7 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", default="runs")
     p.add_argument("--start_epoch", type=int, default=0)
-    p.add_argument("--pretrained", default=None)
+    p.add_argument("--pretrained", default=None,
+                   help="params-only warm start (reference --pretrained)")
+    p.add_argument("--resume", default=None,
+                   help="full-state resume: params + Adam moments + step "
+                   "(preemption-safe; epoch restored from the checkpoint)")
+    p.add_argument("--save_every_steps", type=int, default=0,
+                   help="also checkpoint mid-epoch every N steps")
     p.add_argument("--fix_model", default=None, help="stage-2 frozen teacher ckpt")
     p.add_argument("--vgg_weights", default=None)
     p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
@@ -87,6 +93,8 @@ def main(argv=None) -> None:
         save_path=args.save_path,
         start_epoch=args.start_epoch,
         pretrained=args.pretrained,
+        resume=args.resume,
+        save_every_steps=args.save_every_steps,
         vgg_weights=args.vgg_weights,
         compute_dtype=args.dtype,
         grad_accum=args.grad_accum,

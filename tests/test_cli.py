@@ -140,3 +140,37 @@ def test_mixed_dataset():
     assert ds.get(0, None)["tag"] == "a"
     assert ds.get(3, None) == {"tag": "b", "i": 0}
     assert ds.get(4, None) == {"tag": "b", "i": 1}
+
+
+def test_train_cli_resume(tree, tmp_path):
+    """--resume continues from a full-state checkpoint (params + Adam
+    moments + step) written by a previous CLI run; --save_every_steps
+    produces mid-epoch checkpoints."""
+    run_dir = tmp_path / "run"
+    base = [
+        "--stage", "1", "--model", "tiny", "--no_levels", "5",
+        "--data_root", str(tree), "--lists_dir", str(tree / "lists"),
+        "--batch_size", "2", "--epoch_size", "2",
+        "--crop_height", "48", "--crop_width", "96",
+        "--a_p", "0", "--max_disp", "30", "--workers", "2",
+        "--save_path", str(run_dir),
+    ]
+    cli_train.main(base + ["--epochs", "1", "--save_every_steps", "1"])
+    ckpts = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(run_dir)
+        for f in fs
+        if f == "checkpoint.msgpack"
+    ]
+    assert len(ckpts) == 1
+    # resume for one more epoch from the full-state checkpoint (the
+    # epochs=2 run auto-names a new save dir, e2es vs e1es)
+    cli_train.main(base + ["--epochs", "2", "--resume", ckpts[0]])
+    metas = [
+        json.load(open(os.path.join(dp, f)))
+        for dp, _, fs in os.walk(run_dir)
+        for f in fs
+        if f == "checkpoint.json"
+    ]
+    assert max(m["epoch"] for m in metas) == 1  # epoch 1 ran after resume
+    assert all(m["epoch"] < 2 for m in metas)  # and only epoch 1
