@@ -1,109 +1,84 @@
-"""Property-based (hypothesis) tests for the core MED ops.
+"""Physics/property sanity for the MED head (both implementations).
 
-Complements the golden tests: instead of pinning against the reference at
-fixed shapes, these assert invariants that must hold for ANY shape/bounds
-the ops accept — the class of bugs shape-specific goldens can miss.
+These pin down behaviors the golden tests imply but don't state:
+probability mass conservation away from borders, constant-image pan
+reconstruction, and disparity bounds.
 """
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 import pytest
+import jax.numpy as jnp
 
-hyp = pytest.importorskip("hypothesis")
-from hypothesis import given, settings, strategies as st
-
-from fal_net_tpu.ops.med import (
-    disparity_expectation,
-    disparity_levels,
-    med_outputs,
-)
-from fal_net_tpu.ops.shift import hshift
-
-SET = dict(max_examples=15, deadline=None)
+from fal_net_tpu.ops.med import med_outputs
+from fal_net_tpu.ops.med_pallas import med_outputs_fused
 
 
-@settings(**SET)
-@given(
-    n=st.integers(2, 49),
-    min_d=st.floats(0.5, 10.0),
-    ratio=st.floats(1.5, 200.0),
-)
-def test_levels_monotone_geometric(n, min_d, ratio):
-    max_d = min_d * ratio
-    lv = np.asarray(disparity_levels(min_d, max_d, n))
-    assert lv.shape == (n,)
-    assert np.all(np.diff(lv) > 0)  # strictly increasing
-    assert lv[0] == pytest.approx(min_d, rel=1e-5)
-    assert lv[-1] == pytest.approx(max_d, rel=1e-5)
-    # geometric: constant ratio between consecutive levels
-    r = lv[1:] / lv[:-1]
-    np.testing.assert_allclose(r, r[0], rtol=1e-4)
+IMPLS = [
+    ("jnp", lambda *a, **k: med_outputs(*a, **k)),
+    ("fused", lambda *a, **k: med_outputs_fused(*a, **k, interpret=True)),
+]
 
 
-@settings(**SET)
-@given(
-    b=st.integers(1, 3),
-    h=st.integers(1, 9),
-    w=st.integers(4, 40),
-    n=st.integers(2, 9),
-    seed=st.integers(0, 2**31 - 1),
-)
-def test_expectation_bounded_by_levels(b, h, w, n, seed):
-    rng = np.random.default_rng(seed)
+@pytest.mark.parametrize("name,impl", IMPLS)
+def test_constant_image_pan_interior(rng, name, impl):
+    """pan of a constant image equals that constant wherever no plane's
+    shift reads out of bounds (Dprob sums to 1)."""
+    b, h, w, n = 1, 8, 256, 7
     logits = jnp.asarray(rng.standard_normal((b, h, w, n)).astype(np.float32))
-    probs = jax.nn.softmax(logits, axis=-1)
-    lv = disparity_levels(2.0, 30.0, n)
-    d = np.asarray(disparity_expectation(probs, lv))
-    assert d.shape == (b, h, w, 1)
-    assert (d >= 2.0 - 1e-4).all() and (d <= 30.0 + 1e-4).all()
+    image = jnp.full((b, h, w, 3), 0.37, jnp.float32)
+    max_disp = 20.0
+    out = impl(logits, image, 2.0, max_disp, ret_disp=True, ret_pan=True)
+    interior = np.asarray(out.pan)[:, :, : w - int(max_disp) - 2, :]
+    np.testing.assert_allclose(interior, 0.37, rtol=1e-4, atol=1e-4)
 
 
-@settings(**SET)
-@given(
-    w=st.integers(4, 60),
-    shift_px=st.floats(-20.0, 20.0),
-    seed=st.integers(0, 2**31 - 1),
-)
-def test_hshift_mass_bounds(w, shift_px, seed):
-    """A shift never creates mass: sum(|shifted|) <= sum(|x|) (zeros
-    padding only removes), and an integer multiple of the align_corners
-    grid step moves values exactly."""
-    rng = np.random.default_rng(seed)
-    x = jnp.asarray(rng.random((1, 4, w, 1)).astype(np.float32))
-    # hshift's offset convention: normalized offset s moves s*(W-1)/2 px
-    s = 2.0 * shift_px / max(w - 1, 1)
-    y = np.asarray(hshift(x, s, axis=-2))
-    assert y.shape == x.shape
-    assert y.sum() <= np.asarray(x).sum() + 1e-3
-    assert (y >= -1e-6).all()
-
-
-@settings(**SET)
-@given(
-    h=st.integers(2, 8),
-    w=st.integers(8, 48),
-    n=st.integers(2, 7),
-    c=st.integers(1, 3),
-    seed=st.integers(0, 2**31 - 1),
-)
-def test_med_outputs_invariants(h, w, n, c, seed):
-    """For any shape: disp within [min,max], masks in [0,1], pan finite,
-    Dprob-driven pan bounded by the max |left| value (convex-ish blend of
-    shifted copies, each weight sum <= 1 per pixel)."""
-    rng = np.random.default_rng(seed)
-    logits = jnp.asarray(rng.standard_normal((1, h, w, n)).astype(np.float32))
-    image = jnp.asarray(rng.random((1, h, w, c)).astype(np.float32))
-    out = med_outputs(
-        logits, image, 2.0, 30.0, ret_disp=True, ret_pan=True, ret_subocc=True
-    )
+@pytest.mark.parametrize("name,impl", IMPLS)
+def test_disp_within_bounds(rng, name, impl):
+    b, h, w, n = 2, 8, 64, 9
+    logits = jnp.asarray(rng.standard_normal((b, h, w, n)).astype(np.float32) * 3)
+    image = jnp.zeros((b, h, w, 3), jnp.float32)
+    out = impl(logits, image, 2.0, 300.0, ret_disp=True)
     d = np.asarray(out.disp)
-    assert np.isfinite(d).all()
-    assert (d >= 2.0 - 1e-4).all() and (d <= 30.0 + 1e-4).all()
-    for m in (out.maskL, out.maskR):
-        m = np.asarray(m)
-        assert (m >= -1e-6).all() and (m <= 1.0 + 1e-6).all()
-    pan = np.asarray(out.pan)
-    assert np.isfinite(pan).all()
-    assert pan.max() <= float(np.asarray(image).max()) + 1e-4
-    assert pan.min() >= -1e-4  # non-negative image, non-negative weights
+    assert d.min() >= 2.0 - 1e-3 and d.max() <= 300.0 + 1e-1
+
+
+@pytest.mark.parametrize("name,impl", IMPLS)
+def test_uniform_logits_disp_is_mean_level(rng, name, impl):
+    """Equal logits -> uniform plane probabilities -> disp == mean(levels)."""
+    from fal_net_tpu.ops.med import disparity_levels
+
+    b, h, w, n = 1, 8, 64, 9
+    logits = jnp.zeros((b, h, w, n), jnp.float32)
+    image = jnp.zeros((b, h, w, 3), jnp.float32)
+    out = impl(logits, image, 2.0, 300.0, ret_disp=True)
+    want = float(np.mean(np.asarray(disparity_levels(2.0, 300.0, n))))
+    np.testing.assert_allclose(np.asarray(out.disp), want, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name,impl", IMPLS)
+def test_mask_mass_interior(rng, name, impl):
+    """maskR stays in [0, 1] after the clamp; for SPATIALLY CONSTANT plane
+    probabilities the shifted mass sums to exactly 1 wherever every plane's
+    source is in range (each plane samples a different x, so this only
+    holds when sm0 doesn't vary across x)."""
+    b, h, w, n = 1, 8, 256, 7
+    const_logits = jnp.broadcast_to(
+        jnp.asarray(rng.standard_normal((n,)).astype(np.float32)), (b, h, w, n)
+    )
+    image = jnp.zeros((b, h, w, 3), jnp.float32)
+    max_disp = 16.0
+    out = impl(
+        const_logits, image, 2.0, max_disp, ret_disp=True, ret_pan=True, ret_subocc=True
+    )
+    mr = np.asarray(out.maskR)
+    assert mr.min() >= 0.0 and mr.max() <= 1.0 + 1e-6
+    interior = mr[:, :, : w - int(max_disp) - 2, :]
+    np.testing.assert_allclose(interior, 1.0, atol=1e-3)
+
+    # random logits: still bounded by the clamp
+    logits = jnp.asarray(rng.standard_normal((b, h, w, n)).astype(np.float32))
+    out2 = impl(
+        logits, image, 2.0, max_disp, ret_disp=True, ret_pan=True, ret_subocc=True
+    )
+    mr2 = np.asarray(out2.maskR)
+    assert mr2.min() >= 0.0 and mr2.max() <= 1.0 + 1e-6
