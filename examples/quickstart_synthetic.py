@@ -9,6 +9,13 @@ runs inference with multi-scale post-processing.  Swap ``tiny`` for ``B``
 and point the data layer at KITTI for the real thing (see README).
 """
 
+import os
+import sys
+
+# runnable straight from a source checkout (python examples/...) without
+# installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
