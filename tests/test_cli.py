@@ -142,10 +142,19 @@ def test_mixed_dataset():
     assert ds.get(4, None) == {"tag": "b", "i": 1}
 
 
-def test_train_cli_resume(tree, tmp_path):
+def test_train_cli_resume(tree, tmp_path, monkeypatch):
     """--resume continues from a full-state checkpoint (params + Adam
     moments + step) written by a previous CLI run; --save_every_steps
-    produces mid-epoch checkpoints."""
+    actually fires mid-epoch (counted — the mid-epoch checkpoint shares
+    the epoch-end file name, so file existence alone can't prove it)."""
+    import fal_net_tpu.train.trainer as trainer_mod
+
+    saves = []
+    real_save = trainer_mod.save_checkpoint
+    monkeypatch.setattr(
+        trainer_mod, "save_checkpoint",
+        lambda *a, **k: (saves.append(k.get("meta", {})), real_save(*a, **k))[1],
+    )
     run_dir = tmp_path / "run"
     base = [
         "--stage", "1", "--model", "tiny", "--no_levels", "5",
@@ -163,6 +172,11 @@ def test_train_cli_resume(tree, tmp_path):
         if f == "checkpoint.msgpack"
     ]
     assert len(ckpts) == 1
+    # epoch_size=2 with save_every_steps=1 -> 2 mid-epoch saves (meta
+    # epoch == current-1 for resume-re-runs-this-epoch semantics) plus
+    # the epoch-end save
+    mid = [m for m in saves if m.get("epoch") == -1]
+    assert len(mid) == 2, [m.get("epoch") for m in saves]
     # resume for one more epoch from the full-state checkpoint (the
     # epochs=2 run auto-names a new save dir, e2es vs e1es)
     cli_train.main(base + ["--epochs", "2", "--resume", ckpts[0]])

@@ -65,21 +65,40 @@ def test_expectation_bounded_by_levels(b, h, w, n, seed):
 @settings(**SET)
 @given(
     w=st.integers(4, 60),
-    shift_px=st.floats(-20.0, 20.0),
+    shift_px=st.floats(-70.0, 70.0),  # beyond +-w: fully out of range
     seed=st.integers(0, 2**31 - 1),
 )
 def test_hshift_mass_bounds(w, shift_px, seed):
-    """A shift never creates mass: sum(|shifted|) <= sum(|x|) (zeros
-    padding only removes), and an integer multiple of the align_corners
-    grid step moves values exactly."""
+    """A shift never creates mass: sum(shifted) <= sum(x) for non-negative
+    x (zeros padding only removes).  ``hshift`` takes the shift in PIXELS
+    (ops/shift.py:31-40: output[i] = x[i + shift])."""
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.random((1, 4, w, 1)).astype(np.float32))
-    # hshift's offset convention: normalized offset s moves s*(W-1)/2 px
-    s = 2.0 * shift_px / max(w - 1, 1)
-    y = np.asarray(hshift(x, s, axis=-2))
+    y = np.asarray(hshift(x, shift_px, axis=-2))
     assert y.shape == x.shape
     assert y.sum() <= np.asarray(x).sum() + 1e-3
     assert (y >= -1e-6).all()
+    if abs(shift_px) >= w:
+        np.testing.assert_array_equal(y, 0.0)  # fully out of range
+
+
+@settings(**SET)
+@given(
+    w=st.integers(4, 60),
+    k=st.integers(-60, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hshift_integer_shift_exact(w, k, seed):
+    """Integer pixel shifts move values EXACTLY (frac = 0, pure gather
+    with zero fill) — output[i] = x[i + k] where in range, else 0."""
+    rng = np.random.default_rng(seed)
+    x_np = rng.random((1, 2, w, 1)).astype(np.float32)
+    y = np.asarray(hshift(jnp.asarray(x_np), float(k), axis=-2))
+    want = np.zeros_like(x_np)
+    for i in range(w):
+        if 0 <= i + k < w:
+            want[:, :, i] = x_np[:, :, i + k]
+    np.testing.assert_array_equal(y, want)
 
 
 @settings(**SET)
