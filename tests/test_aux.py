@@ -90,3 +90,37 @@ def test_point_cloud_geometry(rng):
 
     z = WIDTH_TO_FOCAL[1242] * WIDTH_TO_BASELINE[1242] / (50.0 + 1e-4)
     np.testing.assert_allclose(pc[:, 1], z, rtol=1e-5)
+
+
+def test_flow2rgb_matches_reference_recipe(rng):
+    """Golden parity with myUtils.flow2rgb (transcribed) on flow without
+    invalid (zero-vector) pixels and an explicit max_value — the nan
+    handling for invalid pixels is a deliberate fix here (the reference's
+    max_value=None path poisons the whole image with nan via np.max)."""
+    flow = rng.standard_normal((6, 8, 2)).astype(np.float32)
+    flow[np.abs(flow) < 1e-3] = 0.1  # no exact zero-vectors
+    max_value = 2.0
+
+    # reference math (myUtils.py:31-43), CHW
+    fm = flow.transpose(2, 0, 1).copy()
+    ref = np.ones((3, 6, 8), np.float32)
+    nf = fm / max_value
+    ref[0] += nf[0]
+    ref[1] -= 0.5 * (nf[0] + nf[1])
+    ref[2] += nf[1]
+    ref = ref.clip(0, 1)
+
+    got = flow2rgb(flow, max_value)
+    np.testing.assert_allclose(got.transpose(2, 0, 1), ref, rtol=1e-6)
+
+    # grid2rgb shares the recipe (myUtils.py:45-56, HWC input)
+    got_g = grid2rgb(flow, max_value)
+    np.testing.assert_allclose(got_g, got, rtol=1e-6)
+
+
+def test_disp2rgb_matches_reference_recipe(rng):
+    disp = (rng.random((6, 8, 1)) * 40).astype(np.float32)
+    got = disp2rgb(disp, max_value=50.0)
+    ref = np.clip(disp[..., 0] / 50.0, 0, 1)
+    for c in range(3):
+        np.testing.assert_allclose(got[..., c], ref, rtol=1e-6)
