@@ -99,6 +99,15 @@ def main() -> None:
     flops = _model_flops(model, variables, left)
     mfu = (flops / batch) * value / V5E_PEAK_FLOPS if flops else 0.0
 
+    # Secondary: the measured best-throughput serving config (bf16 backbone,
+    # batch 32 — fp32 disparity output either way).  The fp32 b8 headline
+    # stays for round-over-round comparability.
+    bf16_batch = 32
+    model_bf16 = create_model("B", 49, dtype=jnp.bfloat16)
+    left32 = jnp.concatenate([left] * (bf16_batch // batch))
+    best_bf16 = _time_chained(model_bf16, variables, left32, iters=iters)
+    bf16_value = iters * bf16_batch / best_bf16
+
     print(
         json.dumps(
             {
@@ -110,6 +119,8 @@ def main() -> None:
                 "unit": "imgs/sec",
                 "vs_baseline": round(value / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
                 "batch1_latency_ms": round(latency_ms, 2),
+                "bf16_best_imgs_per_sec": round(bf16_value, 3),
+                "bf16_best_batch": bf16_batch,
                 "mfu_vs_bf16_peak": round(mfu, 4),
                 "fwd_tflops_per_img": round(flops / batch / 1e12, 3)
                 if flops

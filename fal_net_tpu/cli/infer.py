@@ -141,6 +141,30 @@ def main(argv=None) -> None:
 
     artifact_fwd = None
     if args.artifact:
+        # In artifact mode everything below is baked into (or fixed by) the
+        # export; silently ignoring an explicit flag would hand back e.g.
+        # un-post-processed output with no indication (ADVICE r2).
+        parser = build_parser()
+        ignored = [
+            name
+            for name, flag in (
+                ("ms_post_process", "--ms_post_process"),
+                ("quantize_transfer", "--quantize_transfer"),
+                ("batch_size", "--batch_size"),
+                ("min_disp", "--min_disp"),
+                ("max_disp", "--max_disp"),
+                ("height", "--height"),
+                ("width", "--width"),
+            )
+            if getattr(args, name) != parser.get_default(name)
+        ]
+        if ignored:
+            raise SystemExit(
+                "--artifact mode bakes the forward into the export; these "
+                "checkpoint-mode flags have no effect here: "
+                + ", ".join("--" + n for n in ignored)
+                + ".  Re-export with cli.export to change them."
+            )
         from fal_net_tpu.serve import load_exported
 
         artifact_fwd = load_exported(args.artifact)

@@ -49,6 +49,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_pc", action="store_true")
     p.add_argument("--save_path", default="Test_Results")
     p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
+    p.add_argument(
+        "--maskr_quirk", action="store_true",
+        help="bit-for-bit FAL_netA maskR compat: reproduce the reference's "
+        "align_corners-less maskR warp (models/FAL_netA.py:264) for "
+        "published A checkpoints",
+    )
+    p.add_argument(
+        "--batch_size", type=int, default=8,
+        help="images per forward within a shape bucket (metrics are "
+        "per-image and identical at any batch size; the reference forces "
+        "1, Test_KITTI.py:113)",
+    )
+    p.add_argument(
+        "--quantize_transfer", action="store_true",
+        help="fetch disparities as device-quantized uint16 (1/256 px — the "
+        "KITTI GT PNG fixed point; half the device->host bytes, metrics "
+        "shift ~1e-5; caps at 255.996 px)",
+    )
+    p.add_argument(
+        "--fp32_upload", action="store_true",
+        help="upload host-normalized fp32 images instead of the default "
+        "raw uint8 + on-device normalization (uint8 is 4x fewer "
+        "host->device bytes and equal to 1 ulp)",
+    )
     return p
 
 
@@ -60,7 +84,9 @@ def main(argv=None) -> None:
     model_name = args.model or name or "B"
     num_levels = args.no_levels or levels
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = create_model(model_name, num_levels, dtype=dtype)
+    model = create_model(
+        model_name, num_levels, dtype=dtype, a_maskr_quirk=args.maskr_quirk
+    )
     print(f"=> loaded {model_name} (N={model.num_levels}) from {args.pretrained}")
 
     factory = EVAL_DATASETS[args.tdataName]
@@ -69,12 +95,17 @@ def main(argv=None) -> None:
     except TypeError:
         _, dataset = factory(args.data_root, split=0)
     print(f"=> {len(dataset)} evaluation samples")
+    if not args.fp32_upload and hasattr(dataset, "raw_uint8"):
+        dataset.raw_uint8 = True  # 4x fewer upload bytes; Evaluator
+        #                           normalizes on device (1-ulp equal)
 
     cfg = EvalConfig(
         dataset=args.tdataName,
         max_disp=args.max_disp,
         min_disp=args.min_disp,
         rel_baseline=args.rel_baseline,
+        batch_size=args.batch_size,
+        quantize_transfer=args.quantize_transfer,
         f_post_process=args.f_post_process,
         ms_post_process=not args.no_ms_post_process and not args.f_post_process,
         use_median=args.median,

@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also checkpoint mid-epoch every N steps")
     p.add_argument("--fix_model", default=None, help="stage-2 frozen teacher ckpt")
     p.add_argument("--vgg_weights", default=None)
+    p.add_argument(
+        "--allow_random_vgg",
+        action="store_true",
+        help="opt-in: run the a_p>0 perceptual loss against random-init "
+        "VGG features when no --vgg_weights are given (the reference "
+        "always uses pretrained ImageNet features)",
+    )
     p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
     p.add_argument(
         "--grad_accum",
@@ -96,6 +103,7 @@ def main(argv=None) -> None:
         resume=args.resume,
         save_every_steps=args.save_every_steps,
         vgg_weights=args.vgg_weights,
+        allow_random_vgg=args.allow_random_vgg,
         compute_dtype=args.dtype,
         grad_accum=args.grad_accum,
         remat=args.remat,
@@ -125,7 +133,10 @@ def main(argv=None) -> None:
         from fal_net_tpu.parallel.spatial import make_2d_mesh
 
         total = args.num_devices or len(jax.devices())
-        assert total % args.spatial == 0, (total, args.spatial)
+        if total % args.spatial != 0:
+            raise ValueError(
+                f"--spatial {args.spatial} must divide the device count {total}"
+            )
         mesh = make_2d_mesh(total // args.spatial, args.spatial)
     elif args.num_devices:
         mesh = make_mesh(args.num_devices)

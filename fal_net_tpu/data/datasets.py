@@ -174,6 +174,12 @@ class StereoEvalDataset:
     # consumers (Trainer.validate, the KITTI-2015 Evaluator) never read it;
     # skipping halves their per-item image IO.
     load_t1: bool = True
+    # Yield 'left' as the source uint8 RGB instead of normalized float32
+    # (the /255 − mean normalization then runs on device, equal to 1 ulp —
+    # data/transforms.py::normalize_device).  4x fewer host->device bytes;
+    # the Evaluator adapts by dtype.  Settable post-construction:
+    #     ds.raw_uint8 = True
+    raw_uint8: bool = False
 
     def __len__(self) -> int:
         return len(self.items)
@@ -181,8 +187,9 @@ class StereoEvalDataset:
     def get(self, index: int, rng: Optional[np.random.Generator] = None):
         paths, targets = self.items[index]
         lp, rp = paths[0], paths[1]
+        left = _imread(os.path.join(self.root, lp))
         sample = {
-            "left": normalize(_imread(os.path.join(self.root, lp))),
+            "left": np.ascontiguousarray(left) if self.raw_uint8 else normalize(left),
             "right": normalize(_imread(os.path.join(self.root, rp))),
             "name": os.path.basename(lp)[:-4],
         }

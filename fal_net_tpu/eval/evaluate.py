@@ -4,13 +4,29 @@ Runs a FAL-net over an evaluation dataset: forward disp (optionally pan and
 sub-occlusion masks for artifact export), flip or multi-scale
 post-processing, per-protocol depth metrics, and artifact export.
 
-TPU notes vs the reference:
-  * KITTI raw mixes image widths {1242,1241,1224,1238,1226} — XLA compiles
-    per shape.  The handful of shapes is compiled once each and cached
-    (the reference instead forces batch 1 and relies on cuDNN autotune).
+TPU-first design vs the reference:
+  * The reference forces batch 1 because "kitty mixes image sizes!"
+    (Test_KITTI.py:113).  KITTI raw only mixes a handful of widths
+    (myUtils.py:177-183), so samples are grouped into per-shape buckets
+    and each bucket runs at ``batch_size`` through one jitted forward —
+    XLA compiles once per shape (the cuDNN-autotune analog), the ragged
+    tail is padded with zero batch slots whose outputs are discarded, and
+    every metric is computed per image on the host exactly as at batch 1
+    (ms-pp's percentile blend is already per-image —
+    eval/postprocess.py:54 — so batched results are bitwise identical to
+    the batch-1 loop).
+  * One batch of device->host latency is overlapped: the next bucket's
+    forward is dispatched (async under jax) before the previous batch's
+    disparities are fetched, so device compute and host work (PNG/PLY
+    export, depth metrics) run concurrently.  On this container's TPU
+    relay (~30 ms/call round-trip) batching alone removes a per-image
+    sync the reference's loop pays on every frame.
   * The reference's --save_pan path crashes on the shipped FAL_netB (it
     unpacks 5 outputs incl. a never-returned right disparity,
-    Test_KITTI.py:190 — SURVEY §2.1 item 11); here pan/mask export works.
+    Test_KITTI.py:190 — SURVEY §2.1 item 11); here pan/mask export works,
+    incl. the normalized-input feature dump (Test_KITTI.py:194's
+    ``local_normalization(input_left)`` — the reachable part of its feats
+    list).
 """
 
 from __future__ import annotations
@@ -19,7 +35,7 @@ import dataclasses
 import functools
 import os
 import time
-from typing import Any, Dict
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +59,7 @@ from fal_net_tpu.eval.metrics import (
 from fal_net_tpu.eval.postprocess import flip_post_process, ms_post_process
 from fal_net_tpu.losses.epe import real_epe
 from fal_net_tpu.utils.meters import AverageMeter, MultiAverageMeter
+from fal_net_tpu.utils.viz import local_normalization
 
 
 @dataclasses.dataclass
@@ -51,6 +68,9 @@ class EvalConfig:
     max_disp: float = 300.0
     min_disp: float = 2.0
     rel_baseline: float = 1.0  # scales max_disp (Test_KITTI.py:161)
+    batch_size: int = 8  # images per forward within a shape bucket;
+    #                      1 reproduces the reference's loop exactly
+    #                      (identical math either way)
     f_post_process: bool = False
     ms_post_process: bool = True
     use_median: bool = False
@@ -62,6 +82,11 @@ class EvalConfig:
     print_freq: int = 10
     crop_top_95: bool = False  # 'Owndata' mode: keep top 95% of rows
     #                            (Test_KITTI.py:169-172)
+    quantize_transfer: bool = False  # opt-in: fetch disparities as
+    #   on-device-quantized round(disp*256) uint16 — halves device->host
+    #   bytes on slow links.  1/256 px resolution (the SAME fixed point as
+    #   KITTI's GT disparity PNGs), capped at 255.996 px; metrics shift at
+    #   the ~1e-5 level, so it is NOT bit-identical to the fp32 fetch.
 
 
 class Evaluator:
@@ -69,45 +94,192 @@ class Evaluator:
         self.model = model
         self.variables = variables
         self.cfg = cfg
-        self._disp_fns: Dict[Any, Any] = {}
+        if cfg.quantize_transfer and cfg.max_disp * cfg.rel_baseline > 65535 / 256.0:
+            import warnings
 
-    @functools.cached_property
-    def _jit_forward(self):
-        def fwd(variables, left, *, pan: bool, subocc: bool):
-            out = self.model.apply(
-                variables,
-                left,
-                self.cfg.min_disp * self.cfg.rel_baseline,
-                self.cfg.max_disp * self.cfg.rel_baseline,
-                ret_disp=True,
-                ret_pan=pan,
-                ret_subocc=subocc,
+            warnings.warn(
+                f"quantize_transfer caps fetched disparities at 65535/256 = "
+                f"{65535 / 256.0:.3f} px but max_disp*rel_baseline = "
+                f"{cfg.max_disp * cfg.rel_baseline} allows larger values; "
+                "close-range disparities will clip.",
+                stacklevel=2,
             )
-            return out
 
-        return jax.jit(fwd, static_argnames=("pan", "subocc"))
+    @staticmethod
+    def _prep(left):
+        """Raw-uint8 batches (dataset ``raw_uint8=True``) normalize on
+        device — 4x fewer host->device bytes, equal to the host
+        normalization to 1 ulp (data/transforms.py::normalize_device).
+        Float inputs pass through; jit re-traces per dtype."""
+        if left.dtype == jnp.uint8:
+            from fal_net_tpu.data.transforms import normalize_device
 
-    def _disp_only(self, left):
-        return self._jit_forward(self.variables, left, pan=False, subocc=False).disp
+            return normalize_device(left)
+        return left
+
+    def _forward(self, variables, left, *, pan: bool, subocc: bool):
+        return self.model.apply(
+            variables,
+            left,
+            self.cfg.min_disp * self.cfg.rel_baseline,
+            self.cfg.max_disp * self.cfg.rel_baseline,
+            ret_disp=True,
+            ret_pan=pan,
+            ret_subocc=subocc,
+        )
 
     @functools.cached_property
-    def _jit_flip_pp(self):
-        return jax.jit(lambda v, left, disp: flip_post_process(
-            left, lambda im: self._jit_forward(v, im, pan=False, subocc=False).disp, disp
-        ))
+    def _jit_eval_step(self):
+        """ONE jitted call per batch: normalize (if raw uint8), forward,
+        post-process, optional uint16 quantization.  A single dispatch
+        matters on slow host links (each call through this container's TPU
+        relay costs ~30 ms of round-trip before any bytes move)."""
 
-    @functools.cached_property
-    def _jit_ms_pp(self):
-        return jax.jit(lambda v, left, disp: ms_post_process(
-            left, lambda im: self._jit_forward(v, im, pan=False, subocc=False).disp, disp
-        ))
+        def step(variables, left, *, pan: bool, subocc: bool):
+            left = self._prep(left)
+            out = self._forward(variables, left, pan=pan, subocc=subocc)
+            disp_fn = lambda im: self._forward(
+                variables, im, pan=False, subocc=False
+            ).disp
+            disp = out.disp
+            if self.cfg.f_post_process:
+                disp = flip_post_process(left, disp_fn, disp)
+            elif self.cfg.ms_post_process:
+                disp = ms_post_process(left, disp_fn, disp)
+            if self.cfg.quantize_transfer:
+                disp = jnp.round(disp * 256.0).clip(0, 65535).astype(jnp.uint16)
+            return out, disp
 
+        return jax.jit(step, static_argnames=("pan", "subocc"))
+
+    # ------------------------------------------------------------------
+    def _dispatch(self, items: List[Tuple[int, Dict[str, Any], np.ndarray]]):
+        """Launch one bucket batch (padded to batch_size) asynchronously.
+
+        Returns (items, device outputs, dispatch timestamp); nothing blocks
+        until the matching ``_collect``.
+        """
+        cfg = self.cfg
+        want_artifacts = cfg.save and cfg.save_pan
+        lefts = [left for _, _, left in items]
+        pad = cfg.batch_size - len(lefts) if len(lefts) < cfg.batch_size else 0
+        batch_np = np.stack(lefts + [np.zeros_like(lefts[0])] * pad)
+        start = time.time()
+        out, disp = self._jit_eval_step(
+            self.variables,
+            jnp.asarray(batch_np),
+            pan=want_artifacts,
+            subocc=want_artifacts,
+        )
+        return items, out, disp, start
+
+    def _collect(self, pending, meters, out_dirs) -> None:
+        """Fetch a dispatched batch to host and run per-image export/metrics."""
+        cfg = self.cfg
+        items, out, disp, start = pending
+        # np.asarray forces the device->host transfer; on the axon backend
+        # block_until_ready alone does not actually block.
+        disp_np = np.asarray(disp)[..., 0]
+        if disp_np.dtype == np.uint16:  # quantize_transfer fixed-point
+            disp_np = disp_np.astype(np.float32) / 256.0
+        want_artifacts = cfg.save and cfg.save_pan
+        pan_np = np.asarray(out.pan) if want_artifacts and out.pan is not None else None
+        maskl_np = np.asarray(out.maskL) if want_artifacts and out.maskL is not None else None
+        maskr_np = np.asarray(out.maskR) if want_artifacts and out.maskR is not None else None
+        meters["batch_time"].update(
+            (time.time() - start) / len(items), n=len(items)
+        )
+        for slot, (i, sample, left_np) in enumerate(items):
+            extras = {
+                "pan": pan_np[slot] if pan_np is not None else None,
+                "maskL": maskl_np[slot] if maskl_np is not None else None,
+                "maskR": maskr_np[slot] if maskr_np is not None else None,
+            }
+            self._process_image(i, sample, left_np, disp_np[slot], extras,
+                                meters, out_dirs)
+
+    def _process_image(self, i, sample, left_np, disp_np, extras, meters,
+                       out_dirs) -> None:
+        """Per-image artifact export + metric update — identical to the
+        batch-1 path (all metrics are per-image in the reference too:
+        Test_KITTI.py:255-270 with batch forced to 1)."""
+        cfg = self.cfg
+        if cfg.save:
+            if left_np.dtype == np.uint8:  # raw-upload mode: exports want
+                from fal_net_tpu.data.transforms import normalize  # normalized floats
+
+                left_np = normalize(left_np)
+            save_disparity_png(
+                os.path.join(out_dirs["disp"], f"{i:010d}.png"), disp_np
+            )
+            if cfg.save_input:
+                save_image_png(
+                    os.path.join(out_dirs["input"], f"{i:010d}.png"), left_np
+                )
+            if cfg.save_pan and extras["pan"] is not None:
+                save_image_png(
+                    os.path.join(out_dirs["pan"], f"{i:010d}.png"), extras["pan"]
+                )
+                # feats = [local_normalization(input), maskL, maskR]: the
+                # reachable entries of Test_KITTI.py:193-194's list (its
+                # dispr/100 entry can never be produced by the shipped
+                # FAL_netB).
+                save_feature_pngs(
+                    out_dirs["feats"], f"{i:010d}_norm_input",
+                    local_normalization(left_np),
+                )
+                save_feature_pngs(
+                    out_dirs["feats"], f"{i:010d}_maskL", extras["maskL"]
+                )
+                save_feature_pngs(
+                    out_dirs["feats"], f"{i:010d}_maskR", extras["maskR"]
+                )
+            if cfg.save_point_cloud:
+                img255 = (left_np + np.asarray([0.411, 0.432, 0.45])) * 255
+                pc = disparity_to_point_cloud(img255, disp_np)
+                save_point_cloud_ply(
+                    os.path.join(out_dirs["pc"], f"{i:010d}.ply"), pc
+                )
+
+        if meters["evaluate"] and "targets" in sample:
+            target = np.asarray(sample["targets"][0])[..., 0]
+            if cfg.dataset in (
+                "Kitti_eigen_test_improved",
+                "Kitti_eigen_test_original",
+            ):
+                gt_d, pred_d = disps_to_depths_kitti(
+                    target[None], disp_np[None]
+                )
+                meters["kitti"].update(
+                    compute_kitti_errors(gt_d[0], pred_d[0], use_median=cfg.use_median)
+                )
+            elif cfg.dataset == "Kitti2015":
+                epe = real_epe(
+                    jnp.asarray(disp_np)[None, ..., None],
+                    jnp.asarray(target)[None, ..., None],
+                    sparse=True,
+                )
+                meters["epe"].update(float(epe))
+                gt_d, pred_d = disps_to_depths_kitti2015(
+                    target[None], disp_np[None]
+                )
+                meters["kitti"].update(
+                    compute_kitti_errors(gt_d[0], pred_d[0], use_median=cfg.use_median)
+                )
+            elif cfg.dataset == "Make3D":
+                gt_d, pred_d = disps_to_depths_make(target[None], disp_np[None])
+                meters["make"].update(compute_make_errors(gt_d[0], pred_d[0]))
+
+    # ------------------------------------------------------------------
     def run(self, dataset, evaluate: bool = True) -> Dict[str, float]:
         cfg = self.cfg
-        epes = AverageMeter()
-        batch_time = AverageMeter()
-        kitti_errors = MultiAverageMeter(KITTI_ERROR_NAMES)
-        make_errors = MultiAverageMeter(KITTI_ERROR_NAMES)
+        meters = {
+            "epe": AverageMeter(),
+            "batch_time": AverageMeter(),
+            "kitti": MultiAverageMeter(KITTI_ERROR_NAMES),
+            "make": MultiAverageMeter(KITTI_ERROR_NAMES),
+            "evaluate": evaluate,
+        }
 
         out_dirs = {}
         if cfg.save:
@@ -117,93 +289,61 @@ class Evaluator:
                 out_dirs[sub] = d
 
         n = len(dataset)
+        done = 0
+        last_print = [-cfg.print_freq]  # first collect prints
+        # Per-shape buckets filled in dataset order; a bucket dispatches the
+        # moment it holds batch_size samples, so at most
+        # (num_shapes * batch_size) samples are ever resident on host.
+        buckets: Dict[Tuple[int, ...], List[Tuple[int, Dict[str, Any], np.ndarray]]] = {}
+        pending = None
+
+        def submit(items):
+            nonlocal pending, done
+            dispatched = self._dispatch(items)
+            if pending is not None:
+                self._collect(pending, meters, out_dirs)
+                done += len(pending[0])
+                if done - last_print[0] >= cfg.print_freq:
+                    last_print[0] = done
+                    a1 = meters["kitti"].avg[4] if meters["kitti"].count else 0.0
+                    print(
+                        f"Test: [{done}/{n}] Time {meters['batch_time']} a1 {a1:.4f}"
+                    )
+            pending = dispatched
+
         for i in range(n):
             sample = dataset.get(i)
-            left = jnp.asarray(sample["left"])[None]
+            left_np = np.asarray(sample["left"])  # float32, or raw uint8
             if cfg.crop_top_95:
-                left = left[:, : int(0.95 * left.shape[1])]
-            want_artifacts = cfg.save and cfg.save_pan
+                left_np = left_np[: int(0.95 * left_np.shape[0])]
+            buckets.setdefault(left_np.shape, []).append((i, sample, left_np))
+            items = buckets[left_np.shape]
+            if len(items) == cfg.batch_size:
+                buckets[left_np.shape] = []
+                submit(items)
+        for items in buckets.values():  # ragged per-shape tails
+            if items:
+                submit(items)
+        if pending is not None:
+            self._collect(pending, meters, out_dirs)
+            done += len(pending[0])
 
-            start = time.time()
-            out = self._jit_forward(
-                self.variables, left, pan=want_artifacts, subocc=want_artifacts
-            )
-            disp = out.disp
-            if cfg.f_post_process:
-                disp = self._jit_flip_pp(self.variables, left, disp)
-            elif cfg.ms_post_process:
-                disp = self._jit_ms_pp(self.variables, left, disp)
-            # np.asarray forces the device->host transfer; on the axon
-            # backend block_until_ready alone does not actually block.
-            disp_np = np.asarray(disp)[0, ..., 0]
-            batch_time.update(time.time() - start)
-
-            if cfg.save:
-                save_disparity_png(
-                    os.path.join(out_dirs["disp"], f"{i:010d}.png"), disp_np
-                )
-                if cfg.save_input:
-                    save_image_png(
-                        os.path.join(out_dirs["input"], f"{i:010d}.png"),
-                        np.asarray(left)[0],
-                    )
-                if cfg.save_pan and out.pan is not None:
-                    save_image_png(
-                        os.path.join(out_dirs["pan"], f"{i:010d}.png"),
-                        np.asarray(out.pan)[0],
-                    )
-                    save_feature_pngs(
-                        out_dirs["feats"], f"{i:010d}_maskL", np.asarray(out.maskL)[0]
-                    )
-                    save_feature_pngs(
-                        out_dirs["feats"], f"{i:010d}_maskR", np.asarray(out.maskR)[0]
-                    )
-                if cfg.save_point_cloud:
-                    img255 = (np.asarray(sample["left"]) + np.asarray(
-                        [0.411, 0.432, 0.45])) * 255
-                    pc = disparity_to_point_cloud(img255, disp_np)
-                    save_point_cloud_ply(
-                        os.path.join(out_dirs["pc"], f"{i:010d}.ply"), pc
-                    )
-
-            if evaluate and "targets" in sample:
-                target = np.asarray(sample["targets"][0])[..., 0]
-                if cfg.dataset in (
-                    "Kitti_eigen_test_improved",
-                    "Kitti_eigen_test_original",
-                ):
-                    gt_d, pred_d = disps_to_depths_kitti(
-                        target[None], disp_np[None]
-                    )
-                    kitti_errors.update(
-                        compute_kitti_errors(gt_d[0], pred_d[0], use_median=cfg.use_median)
-                    )
-                elif cfg.dataset == "Kitti2015":
-                    t = jnp.asarray(sample["targets"][0])[None]
-                    epes.update(float(real_epe(disp, t, sparse=True)))
-                    gt_d, pred_d = disps_to_depths_kitti2015(
-                        target[None], disp_np[None]
-                    )
-                    kitti_errors.update(
-                        compute_kitti_errors(gt_d[0], pred_d[0], use_median=cfg.use_median)
-                    )
-                elif cfg.dataset == "Make3D":
-                    gt_d, pred_d = disps_to_depths_make(target[None], disp_np[None])
-                    make_errors.update(compute_make_errors(gt_d[0], pred_d[0]))
-
-            if i % cfg.print_freq == 0:
-                a1 = kitti_errors.avg[4] if kitti_errors.count else 0.0
-                print(f"Test: [{i}/{n}] Time {batch_time} a1 {a1:.4f}")
-
-        metrics: Dict[str, float] = {"epe": epes.avg, "sec_per_image": batch_time.avg}
-        source = make_errors if cfg.dataset == "Make3D" else kitti_errors
+        metrics: Dict[str, float] = {
+            "epe": meters["epe"].avg,
+            "sec_per_image": meters["batch_time"].avg,
+        }
+        source = meters["make"] if cfg.dataset == "Make3D" else meters["kitti"]
         metrics.update({k: v for k, v in zip(KITTI_ERROR_NAMES, source.avg)})
 
         # errors.txt is always written, like the reference (Test_KITTI.py:276-280
         # writes it unconditionally, independent of --save).
+        from fal_net_tpu.utils.meters import count_params
+
+        n_params = count_params(self.variables)
         os.makedirs(cfg.save_path, exist_ok=True)
         with open(os.path.join(cfg.save_path, "errors.txt"), "w") as f:
-            f.write(f"EPE {epes.avg}\n")
+            f.write(f"Number of parameters {n_params}\n")
+            f.write(f"EPE {meters['epe'].avg}\n")
             f.write("Kitti metrics:\n")
             f.write(repr(source) + "\n")
         print(repr(source))

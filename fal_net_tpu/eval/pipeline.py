@@ -63,6 +63,16 @@ class DisparityPipeline:
         self.max_disp = max_disp
         self.ms_post_process = ms_post_process
         self.quantize_uint16 = quantize_uint16
+        if quantize_uint16 and max_disp > 65535 / 256.0:
+            import warnings
+
+            warnings.warn(
+                f"quantize_uint16 caps fetched disparities at 65535/256 = "
+                f"{65535 / 256.0:.3f} px but max_disp={max_disp} allows larger "
+                "values; close-range disparities will clip.  Lower max_disp "
+                "or disable quantize_uint16.",
+                stacklevel=2,
+            )
         self.device_normalize = device_normalize
         self.mesh = mesh
         self._sharding = None
@@ -70,7 +80,11 @@ class DisparityPipeline:
             from fal_net_tpu.parallel.mesh import batch_sharding, replicate_sharding
 
             n = mesh.shape.get("data", 1)
-            assert batch_size % n == 0, (batch_size, dict(mesh.shape))
+            if batch_size % n != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} is not divisible by the mesh "
+                    f"'data' axis size {n} (mesh {dict(mesh.shape)})"
+                )
             variables = jax.device_put(variables, replicate_sharding(mesh))
             self._sharding = batch_sharding(mesh)
         self.variables = variables

@@ -18,8 +18,11 @@ variants.  The divergence is quantified in
 tests/test_round2_fixes.py::test_falneta_maskr_align_corners_quirk: on
 white-noise probability volumes the mis-shift changes maskR by up to ~0.67
 (half-pixel resampling of high-frequency planes); on smooth real masks the
-effect is proportionally smaller but nonzero, so A-variant checkpoints
-evaluated here will not reproduce the reference's maskR bit-for-bit.
+effect is proportionally smaller but nonzero.  For evaluating *published
+A checkpoints* bit-for-bit, the opt-in ``a_maskr_quirk=True`` flag
+reproduces the reference resample exactly
+(ops/shift.py::hshift_planes_quirk, parity-tested vs a torch
+transcription of the FAL_netA warp in tests/test_round2_fixes.py).
 """
 
 from __future__ import annotations
@@ -62,6 +65,9 @@ class FalNet(nn.Module):
     med_axis: str = "data"
     med_spatial_axis: Optional[str] = None
     med_interpret: bool = False  # interpret-mode kernel (CPU tests/dryrun)
+    a_maskr_quirk: bool = False  # opt-in: reproduce the reference
+    #   FAL_netA's align_corners-less maskR warp bit-for-bit (see module
+    #   docstring); forces the jnp MED path
 
     @nn.compact
     def __call__(
@@ -107,12 +113,15 @@ class FalNet(nn.Module):
         # Fused kernel only pays off when the shifted volume is needed
         # (pan/masks); disp-only is a softmax+expectation XLA fuses fine,
         # and skipping the kernel avoids the NHWC<->NCHW relayouts.
-        use_fused = self.med_impl == "fused" or (
-            self.med_impl == "auto"
-            and (ret_pan or ret_subocc)
-            and (_fused_med_available() or self.med_interpret)
-            and isinstance(min_disp, (int, float))
-            and isinstance(max_disp, (int, float))
+        use_fused = not self.a_maskr_quirk and (
+            self.med_impl == "fused"
+            or (
+                self.med_impl == "auto"
+                and (ret_pan or ret_subocc)
+                and (_fused_med_available() or self.med_interpret)
+                and isinstance(min_disp, (int, float))
+                and isinstance(max_disp, (int, float))
+            )
         )
         if use_fused:
             from fal_net_tpu.ops.med_pallas import (
@@ -159,6 +168,7 @@ class FalNet(nn.Module):
             ret_disp=ret_disp,
             ret_pan=ret_pan,
             ret_subocc=ret_subocc,
+            maskr_quirk=self.a_maskr_quirk,
         )
 
 
@@ -173,6 +183,7 @@ def create_model(
     med_axis: str = "data",
     med_spatial_axis: Optional[str] = None,
     med_interpret: bool = False,
+    a_maskr_quirk: bool = False,
 ) -> FalNet:
     """Build a FAL-net variant ('A' | 'B' | 'C', or reference names like
     'FAL_netB')."""
@@ -196,4 +207,5 @@ def create_model(
         med_axis=med_axis,
         med_spatial_axis=med_spatial_axis,
         med_interpret=med_interpret,
+        a_maskr_quirk=a_maskr_quirk,
     )

@@ -29,7 +29,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from fal_net_tpu.ops.shift import hshift_planes
+from fal_net_tpu.ops.shift import hshift_planes, hshift_planes_quirk
 
 
 class MedOutputs(NamedTuple):
@@ -101,6 +101,7 @@ def med_outputs(
     ret_disp: bool = True,
     ret_pan: bool = False,
     ret_subocc: bool = False,
+    maskr_quirk: bool = False,
 ) -> MedOutputs:
     """Compute the requested MED head outputs from plane logits.
 
@@ -110,6 +111,9 @@ def med_outputs(
       min_disp / max_disp: scalars or (B,) per-sample disparity range in
         pixels.  Python floats make every shift a compile-time constant.
       ret_*: which outputs to materialize (all static).
+      maskr_quirk: opt-in bit-parity with the reference FAL_netA's maskR,
+        whose warp omits align_corners (models/FAL_netA.py:264) — see
+        :func:`fal_net_tpu.ops.shift.hshift_planes_quirk`.
     """
     num_levels = logits.shape[-1]
     width = logits.shape[-2]
@@ -125,6 +129,7 @@ def med_outputs(
             ret_disp=ret_disp,
             ret_pan=ret_pan,
             ret_subocc=ret_subocc,
+            maskr_quirk=maskr_quirk,
         )
         out = jax.vmap(fn)(logits, image, min_disp, max_disp)
         squeeze = lambda a: None if a is None else a[:, 0]
@@ -157,9 +162,15 @@ def med_outputs(
 
         if ret_subocc:
             sm0 = jax.nn.softmax(logits, axis=-1)
-            maskR = jnp.sum(
-                hshift_planes(jax.lax.stop_gradient(sm0), shifts, axis=-2), axis=-1
-            )[..., None]
+            if maskr_quirk:
+                shifted_sm0 = hshift_planes_quirk(
+                    jax.lax.stop_gradient(sm0), levels, axis=-2
+                )
+            else:
+                shifted_sm0 = hshift_planes(
+                    jax.lax.stop_gradient(sm0), shifts, axis=-2
+                )
+            maskR = jnp.sum(shifted_sm0, axis=-1)[..., None]
             maskL = jnp.sum(
                 hshift_planes(jax.lax.stop_gradient(dprob), -shifts, axis=-2), axis=-1
             )[..., None]

@@ -94,6 +94,84 @@ def hshift_planes(x: jax.Array, shifts: jax.Array, *, axis: int = -2) -> jax.Arr
     return jnp.moveaxis(out, -2, axis)
 
 
+def _lerp_axis(x: jax.Array, pos: jax.Array, axis: int) -> jax.Array:
+    """Sample ``x`` at fractional positions ``pos`` (one per output index)
+    along ``axis`` — 1-D linear interpolation, out-of-range reads zero."""
+    n = x.shape[axis]
+    base = jnp.floor(pos)
+    frac = (pos - base).astype(x.dtype)
+    base = jnp.clip(base, -n - 1, n + 1).astype(jnp.int32)
+    ndim = x.ndim
+    axis_ = axis % ndim
+    shape = [1] * ndim
+    shape[axis_] = pos.shape[0]
+
+    def _read(idx):
+        oob = (idx < 0) | (idx >= n)
+        v = jnp.take(x, jnp.clip(idx, 0, n - 1), axis=axis_)
+        return jnp.where(oob.reshape(shape), 0, v)
+
+    frac = frac.reshape(shape)
+    return (1 - frac) * _read(base) + frac * _read(base + 1)
+
+
+def hshift_planes_quirk(
+    x: jax.Array, levels: jax.Array, *, axis: int = -2, row_axis: int = -3
+) -> jax.Array:
+    """FAL_netA maskR quirk sampler: align_corners=False ``grid_sample`` of
+    an align_corners=True grid offset by ``x_of = 2*d/W``.
+
+    The reference's variant-A maskR warp omits ``align_corners``
+    (models/FAL_netA.py:264, defaulting to False) on a grid built with
+    align_corners=True (FAL_netA.py:234).  grid_sample(align_corners=False)
+    unnormalizes a grid value g to pixel ``((g+1)*S - 1)/2`` on a size-S
+    axis; with ``g_x = 2x/(W-1) - 1 + 2d/W`` and ``g_y = 2y/(H-1) - 1`` the
+    source position becomes
+
+        p_x(x, n) = x * W/(W-1) + d_n - 0.5
+        p_y(y)    = y * H/(H-1)       - 0.5
+
+    — a stretch plus half-pixel offset on BOTH axes (the ac=False
+    reinterpretation warps the untouched y coordinate too), instead of the
+    uniform ``x + d*(W-1)/W`` every other warp uses.  The grid is
+    axis-aligned so the 2-D bilinear factorizes into two 1-D lerps (rows,
+    then per-plane columns), each zero-padded.  Verified exact vs
+    ``F.grid_sample`` in tests/test_round2_fixes.py.  Opt-in for
+    bit-parity evaluation of published FAL_netA checkpoints; every shipped
+    B/C config and our default A path use :func:`hshift_planes`.
+    """
+    height = x.shape[row_axis]
+    width = x.shape[axis]
+    n = x.shape[-1]
+    levels = jnp.asarray(levels, dtype=jnp.float32)
+
+    # rows: same fractional positions for every plane/column
+    rows = jnp.arange(height, dtype=jnp.float32)
+    x = _lerp_axis(x, rows * (height / (height - 1)) - 0.5, row_axis)
+
+    # columns: per-plane positions (W, N)
+    cols = jnp.arange(width, dtype=jnp.float32)
+    pos = cols[:, None] * (width / (width - 1)) + levels[None, :] - 0.5
+    base = jnp.floor(pos)
+    frac = (pos - base).astype(x.dtype)  # (W, N)
+    base = jnp.clip(base, -width - 1, width + 1).astype(jnp.int32)
+
+    x_moved = jnp.moveaxis(x, axis, -2)  # (..., W, N)
+    bshape = (1,) * (x_moved.ndim - 2) + (width, n)
+
+    def _read(idx):
+        oob = (idx < 0) | (idx >= width)
+        v = jnp.take_along_axis(
+            x_moved, jnp.clip(idx, 0, width - 1).reshape(bshape), axis=-2
+        )
+        return jnp.where(oob.reshape(bshape), 0, v)
+
+    out = (1 - frac.reshape(bshape)) * _read(base) + frac.reshape(bshape) * _read(
+        base + 1
+    )
+    return jnp.moveaxis(out, -2, axis)
+
+
 def hflip(x: jax.Array, *, axis: int = -2) -> jax.Array:
     """Horizontal mirror flip.
 

@@ -104,6 +104,10 @@ def export_forward(
         "variant": model.spec.name,
         "num_levels": model.num_levels,
         "input": "uint8" if uint8_input else "float32_normalized",
+        # compute dtype of the baked-in forward (disp output is always
+        # fp32: the logits conv emits fp32 from the MXU accumulator and
+        # the MED head runs fp32 — models/falnet.py)
+        "dtype": jnp.dtype(model.dtype).name,
     }
     meta_blob = json.dumps(meta).encode()
     return (

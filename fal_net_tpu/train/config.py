@@ -37,6 +37,9 @@ class TrainConfig:
     save_path: str = "runs"
     print_freq: int = 100
     val_freq: int = 1
+    val_batch_size: int = 4  # batched epoch validation (per-shape buckets;
+    #   per-image metrics identical to the reference's batch-1 loop,
+    #   Train_Stage1_K.py:283)
     compute_dtype: str = "float32"  # "bfloat16" trains ~1.3x faster on v5e
     remat: bool = False  # rematerialize the model forward in the backward
     #                      pass (trade FLOPs for HBM; enables bigger batches)
@@ -51,6 +54,11 @@ class TrainConfig:
     #                                + step), preemption-safe
     save_every_steps: int = 0  # 0 = only per-epoch checkpoints
     vgg_weights: Optional[str] = None  # torchvision vgg19 state_dict path
+    allow_random_vgg: bool = False  # explicit opt-in: train the a_p>0
+    #   perceptual term against RANDOM-init VGG features (the reference
+    #   always trains against pretrained ImageNet features,
+    #   loss_functions.py:10,48; without weights this silently changes
+    #   behavior, so it must be asked for)
 
     @property
     def min_max_ratio(self) -> float:

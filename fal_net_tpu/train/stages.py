@@ -5,6 +5,11 @@ assembled around the same model (SURVEY §2.5); here each is a pure function
 ``(params, batch, ...) -> (loss, aux)`` suitable for ``jax.value_and_grad``
 inside one jitted train step.
 
+Aux contract: every aux leaf is a per-batch MEAN scalar.  The trainer's
+gradient-accumulation path averages aux across microbatches (and mean of
+per-microbatch means == full-batch mean); adding a non-mean aux (count,
+max, image) would silently break that reduction.
+
   * stage1      — left-view-only view synthesis (Train_Stage1_K.py:210-262)
   * stage1_slow — double batch of (left, flipped right) through one forward,
                   losses on both views (Train_Stage1_Kslow.py:237-283)

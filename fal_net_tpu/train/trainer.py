@@ -108,8 +108,20 @@ class Trainer:
         if cfg.a_p > 0:
             if cfg.vgg_weights:
                 self.vgg_model, self.vgg_params = load_torch_vgg19(cfg.vgg_weights)
-            else:
+            elif cfg.allow_random_vgg:
                 self.vgg_model, self.vgg_params = init_vgg19(seed=cfg.seed)
+            else:
+                # The reference always trains a_p>0 against pretrained
+                # ImageNet VGG features (loss_functions.py:10,48); training
+                # against random features silently changes behavior in a way
+                # the loss curve won't show, so it must be opted into.
+                raise ValueError(
+                    f"a_p={cfg.a_p} > 0 enables the perceptual loss but no "
+                    "--vgg_weights were given.  Either supply a torchvision "
+                    "vgg19 state_dict (--vgg_weights path.pth), disable the "
+                    "term (--a_p 0), or explicitly opt into random-init VGG "
+                    "features with --allow_random_vgg."
+                )
         else:
             self.vgg_model, self.vgg_params = None, None
 
@@ -243,6 +255,11 @@ class Trainer:
 
                 micro = jax.tree.map(split, batch)
 
+                # NB: aux leaves are averaged across microbatches below —
+                # correct because every stage-loss aux value is a per-batch
+                # MEAN scalar (train/stages.py contract); a non-mean aux
+                # (count, max, image) must not be added there without
+                # changing this reduction.
                 def body(carry, mb):
                     (loss, aux), grads = grad_fn(state.params, mb)
                     g_sum, aux_sum = carry
@@ -382,33 +399,62 @@ class Trainer:
     def validate(self, dataset, epoch: int = 0, log_images: int = 3) -> Dict[str, float]:
         """KITTI-2015 validation (Train_Stage1_K.py:279-347): synthesis RMSE,
         sparse EPE, depth metrics; first ``log_images`` samples' disp/mask/pan
-        go to the image logger."""
+        go to the image logger.
+
+        Runs batched (``cfg.val_batch_size``, per-shape buckets like
+        eval/evaluate.py — KITTI-2015 frames are uniform-width so normally
+        one bucket): every metric is computed per image exactly as at batch
+        1, so batching only removes the per-image device->host sync the
+        reference loop pays each frame (Train_Stage1_K.py:283)."""
         from fal_net_tpu.utils.viz import disp2rgb
 
+        bs = max(1, int(getattr(self.cfg, "val_batch_size", 1)))
         rmses = AverageMeter()
         epes = AverageMeter()
         kitti_errors = MultiAverageMeter(KITTI_ERROR_NAMES)
+
+        def process(items):
+            lefts = np.stack([np.asarray(s["left"], np.float32) for _, s in items])
+            pad = bs - len(items)
+            if pad:
+                lefts = np.concatenate([lefts, np.zeros_like(lefts[:1]).repeat(pad, 0)])
+            out = self._val_forward(self.state.params, jnp.asarray(lefts))
+            pan_np = np.asarray(out.pan)
+            disp_np = np.asarray(out.disp)
+            maskl_np = np.asarray(out.maskL)
+            for slot, (i, s) in enumerate(items):
+                right = jnp.asarray(s["right"])[None]
+                rmses.update(float(image_rmse(jnp.asarray(pan_np[slot])[None], right)))
+                if self.logger is not None and i < log_images:
+                    self.logger.image(epoch, f"val{i}/disparity", disp2rgb(disp_np[slot]))
+                    self.logger.image(epoch, f"val{i}/maskL", disp2rgb(maskl_np[slot], 1.0))
+                    self.logger.image(
+                        epoch,
+                        f"val{i}/pan",
+                        np.clip(pan_np[slot] + np.asarray([0.411, 0.432, 0.45]), 0, 1),
+                    )
+                if "targets" in s:
+                    target = jnp.asarray(s["targets"][0])[None]
+                    epes.update(
+                        float(real_epe(jnp.asarray(disp_np[slot])[None], target, sparse=True))
+                    )
+                    gt_d, pred_d = disps_to_depths_kitti2015(
+                        np.asarray(target)[..., 0], disp_np[slot][None, ..., 0]
+                    )
+                    kitti_errors.update(compute_kitti_errors(gt_d[0], pred_d[0]))
+
+        buckets: Dict[tuple, list] = {}
         for i in range(len(dataset)):
             s = dataset.get(i)
-            left = jnp.asarray(s["left"])[None]
-            right = jnp.asarray(s["right"])[None]
-            out = self._val_forward(self.state.params, left)
-            rmses.update(float(image_rmse(out.pan, right)))
-            if self.logger is not None and i < log_images:
-                self.logger.image(epoch, f"val{i}/disparity", disp2rgb(np.asarray(out.disp)[0]))
-                self.logger.image(epoch, f"val{i}/maskL", disp2rgb(np.asarray(out.maskL)[0], 1.0))
-                self.logger.image(
-                    epoch,
-                    f"val{i}/pan",
-                    np.clip(np.asarray(out.pan)[0] + np.asarray([0.411, 0.432, 0.45]), 0, 1),
-                )
-            if "targets" in s:
-                target = jnp.asarray(s["targets"][0])[None]
-                epes.update(float(real_epe(out.disp, target, sparse=True)))
-                gt_d, pred_d = disps_to_depths_kitti2015(
-                    np.asarray(target)[..., 0], np.asarray(out.disp)[..., 0]
-                )
-                kitti_errors.update(compute_kitti_errors(gt_d[0], pred_d[0]))
+            shape = np.asarray(s["left"]).shape
+            buckets.setdefault(shape, []).append((i, s))
+            if len(buckets[shape]) == bs:
+                items, buckets[shape] = buckets[shape], []
+                process(items)
+        for items in buckets.values():
+            if items:
+                process(items)
+
         metrics = {"rmse": rmses.avg, "epe": epes.avg}
         metrics.update(
             {n: v for n, v in zip(KITTI_ERROR_NAMES, kitti_errors.avg)}

@@ -77,7 +77,9 @@ def test_trainer_with_perceptual_loss(tmp_path):
     from fal_net_tpu.train import Stage1Config, Trainer
     from tests.test_train import SyntheticStereo, _tiny_cfg
 
-    cfg = Stage1Config(**{**_tiny_cfg(epoch_size=1), "a_p": 0.01})
+    cfg = Stage1Config(
+        **{**_tiny_cfg(epoch_size=1), "a_p": 0.01, "allow_random_vgg": True}
+    )
     tr = Trainer(cfg, stage="stage1", mesh=make_mesh(1), train_dataset=SyntheticStereo(n=2))
     res = tr.fit(save_path=str(tmp_path / "p"))
     assert np.isfinite(res["history"][0]["loss"])

@@ -29,6 +29,24 @@ class SyntheticEval:
         return {"left": left, "right": right, "targets": [disp], "name": f"s{index}"}
 
 
+class MixedShapeEval:
+    """5 samples across 2 KITTI widths (both in the intrinsics table) in
+    interleaved order — exercises the per-shape bucket batching."""
+
+    SHAPES = [(64, 1242), (64, 1226), (64, 1242), (64, 1226), (64, 1242)]
+
+    def __len__(self):
+        return len(self.SHAPES)
+
+    def get(self, index, rng=None):
+        h, w = self.SHAPES[index]
+        r = np.random.default_rng(index)
+        left = r.random((h, w, 3)).astype(np.float32) - 0.5
+        disp = (r.random((h, w, 1)) * 80).astype(np.float32)
+        disp[disp < 20] = 0  # sparse
+        return {"left": left, "targets": [disp], "name": f"mix{index}"}
+
+
 def _make_model():
     model = create_model("tiny", 5)
     variables = model.init(
@@ -50,6 +68,129 @@ def test_evaluator_kitti2015_metrics(tmp_path):
         assert k in metrics
         assert np.isfinite(metrics[k])
     assert os.path.isfile(tmp_path / "errors.txt")
+    # reference writes the param count into errors.txt (Test_KITTI.py:277)
+    from fal_net_tpu.utils.meters import count_params
+
+    txt = open(tmp_path / "errors.txt").read()
+    assert f"Number of parameters {count_params(variables)}" in txt
+
+
+def test_batched_eval_metric_identity(tmp_path):
+    """Bucketed batch-N evaluation produces the same metrics as the
+    reference-shaped batch-1 loop (VERDICT round-2 item 1 done-criterion):
+    5 images over 2 interleaved KITTI shapes, ms-pp on (its percentile
+    blend is per-image), batch 2 => one full batch + ragged tail per shape."""
+    model, variables = _make_model()
+
+    def run(batch_size):
+        cfg = EvalConfig(
+            dataset="Kitti2015",
+            ms_post_process=True,
+            batch_size=batch_size,
+            save_path=str(tmp_path / f"b{batch_size}"),
+            print_freq=2,
+        )
+        return Evaluator(model, variables, cfg).run(MixedShapeEval())
+
+    m1, m2 = run(1), run(2)
+    for k in ("abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3", "epe"):
+        np.testing.assert_allclose(m2[k], m1[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_raw_uint8_upload_metric_identity(tmp_path):
+    """Raw-uint8 upload + on-device normalization (the default cli.test
+    path — 4x fewer host->device bytes) produces the same metrics as
+    host-normalized fp32 upload to fp32 tolerance (the two normalizations
+    agree to 1 ulp)."""
+    from fal_net_tpu.data.transforms import normalize
+
+    class U8Eval:
+        def __init__(self, raw):
+            self.raw = raw
+
+        def __len__(self):
+            return 3
+
+        def get(self, index, rng=None):
+            r = np.random.default_rng(index)
+            img = r.integers(0, 256, (64, 1242, 3), dtype=np.uint8)
+            disp = (r.random((64, 1242, 1)) * 80).astype(np.float32)
+            disp[disp < 20] = 0
+            return {
+                "left": img if self.raw else normalize(img),
+                "targets": [disp],
+                "name": f"u{index}",
+            }
+
+    model, variables = _make_model()
+
+    def run(raw):
+        cfg = EvalConfig(
+            dataset="Kitti2015",
+            ms_post_process=True,
+            batch_size=2,
+            save_path=str(tmp_path / f"raw{raw}"),
+            print_freq=10,
+        )
+        return Evaluator(model, variables, cfg).run(U8Eval(raw))
+
+    m_f32, m_u8 = run(False), run(True)
+    for k in ("abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3", "epe"):
+        np.testing.assert_allclose(m_u8[k], m_f32[k], rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_eval_dataset_raw_uint8_flag(tmp_path):
+    """StereoEvalDataset.raw_uint8 yields the source uint8 for 'left' and
+    normalize(raw) equals the default float path exactly."""
+    from PIL import Image
+
+    from fal_net_tpu.data.datasets import StereoEvalDataset
+    from fal_net_tpu.data.transforms import normalize
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "l.png")
+    Image.fromarray(img[:, ::-1]).save(tmp_path / "r.png")
+    items = [(("l.png", "r.png"), None)]
+    ds = StereoEvalDataset(str(tmp_path), items)
+    ds_raw = StereoEvalDataset(str(tmp_path), items, raw_uint8=True)
+    s, s_raw = ds.get(0), ds_raw.get(0)
+    assert s_raw["left"].dtype == np.uint8
+    np.testing.assert_array_equal(s_raw["left"], img)
+    np.testing.assert_array_equal(normalize(s_raw["left"]), s["left"])
+    # 'right' stays normalized either way (only consumed host-side)
+    assert s_raw["right"].dtype == np.float32
+
+
+def test_quantize_transfer_metrics_and_warning(tmp_path):
+    """quantize_transfer fetches uint16 fixed-point disparities (1/256 px
+    — KITTI's own GT PNG precision): metrics agree with the fp32 fetch to
+    the quantization level, and combining it with max_disp > 255.996 warns."""
+    import pytest
+
+    model, variables = _make_model()
+
+    def run(q):
+        cfg = EvalConfig(
+            dataset="Kitti2015",
+            ms_post_process=True,
+            batch_size=2,
+            quantize_transfer=q,
+            max_disp=30.0,
+            save_path=str(tmp_path / f"q{q}"),
+            print_freq=10,
+        )
+        return Evaluator(model, variables, cfg).run(SyntheticEval(n=3))
+
+    m_f32, m_q = run(False), run(True)
+    for k in ("abs_rel", "rms", "a1"):
+        np.testing.assert_allclose(m_q[k], m_f32[k], rtol=1e-3, atol=1e-3, err_msg=k)
+
+    with pytest.warns(UserWarning, match="255.996"):
+        Evaluator(
+            model, variables,
+            EvalConfig(dataset="Kitti2015", quantize_transfer=True, max_disp=300.0),
+        )
 
 
 def test_evaluator_artifact_export(tmp_path):
@@ -72,6 +213,22 @@ def test_evaluator_artifact_export(tmp_path):
     # ply header sane
     head = open(tmp_path / "pc" / "0000000000.ply").read(200)
     assert head.startswith("ply") and "element vertex" in head
+    # feats = [local_normalization(input), maskL, maskR] (Test_KITTI.py:193-194)
+    from fal_net_tpu.utils.viz import local_normalization
+
+    assert os.path.isfile(tmp_path / "feats" / "0000000000_maskL_c0.png")
+    assert os.path.isfile(tmp_path / "feats" / "0000000000_maskR_c0.png")
+    for c in range(3):
+        assert os.path.isfile(tmp_path / "feats" / f"0000000000_norm_input_c{c}.png")
+    # the exported normalized-input channels match utils.viz.local_normalization
+    from PIL import Image
+
+    sample = SyntheticEval(n=1).get(0)
+    want = np.clip(np.abs(local_normalization(sample["left"])) * 255, 0, 255)
+    got = np.asarray(
+        Image.open(tmp_path / "feats" / "0000000000_norm_input_c0.png")
+    )
+    np.testing.assert_allclose(got, np.rint(want[..., 0]), atol=1)
 
 
 def test_flip_pp_path(tmp_path):

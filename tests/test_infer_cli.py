@@ -93,6 +93,31 @@ def test_infer_cli_artifact(tmp_path, tiny_ckpt, image_dir):
     np.testing.assert_allclose(got, ref, atol=1 / 256 + 1e-4)
 
 
+def test_infer_cli_artifact_rejects_checkpoint_flags(tmp_path, tiny_ckpt, image_dir):
+    """Checkpoint-mode flags with --artifact would be silently ignored
+    (baked into the export); the CLI must refuse instead (ADVICE r2)."""
+    from fal_net_tpu.cli.export import main as export_main
+    from fal_net_tpu.cli.infer import main as infer_main
+
+    ckpt, _, _ = tiny_ckpt
+    art = str(tmp_path / "tiny2.jaxexp")
+    export_main([
+        "--pretrained", ckpt, "--model", "tiny", "--no_levels", "5",
+        "--batch", "2", "--height", "16", "--width", "32",
+        "--max_disp", "30.0", "--platforms", "cpu", "--out", art,
+    ])
+    with pytest.raises(SystemExit, match="ms_post_process"):
+        infer_main([
+            "--images", image_dir, "--out_dir", str(tmp_path / "o"),
+            "--artifact", art, "--ms_post_process",
+        ])
+    with pytest.raises(SystemExit, match="height"):
+        infer_main([
+            "--images", image_dir, "--out_dir", str(tmp_path / "o"),
+            "--artifact", art, "--height", "64",
+        ])
+
+
 def test_infer_cli_name_collisions(tmp_path, tiny_ckpt):
     """img.1.png, img.jpg, img.png must produce three distinct outputs
     with the right geometry each (suffixed names are checked against the

@@ -56,6 +56,39 @@ def test_remat_trainer_runs(tmp_path):
     assert np.isfinite(res["history"][0]["loss"])
 
 
+def test_validate_batched_identity():
+    """Batched epoch validation (val_batch_size>1) produces the same
+    metrics as the per-sample loop — 5 samples, batch 4 => one full batch
+    + ragged tail (VERDICT round-2 item 4)."""
+
+    class ValDS:
+        def __len__(self):
+            return 5
+
+        def get(self, i, rng_=None):
+            r = np.random.default_rng(100 + i)
+            disp = (r.random((32, 1242, 1)) * 20).astype(np.float32)
+            disp[disp < 5] = 0
+            return {
+                "left": r.random((32, 1242, 3)).astype(np.float32) - 0.4,
+                "right": r.random((32, 1242, 3)).astype(np.float32) - 0.4,
+                "targets": [disp],
+            }
+
+    cfg = Stage1Config(**_tiny_cfg(epoch_size=1))
+    tr = Trainer(
+        cfg, stage="stage1", mesh=make_mesh(1),
+        train_dataset=SyntheticStereo(n=2), val_dataset=ValDS(),
+    )
+    tr.setup()
+    cfg.val_batch_size = 1
+    m1 = tr.validate(ValDS())
+    cfg.val_batch_size = 4
+    m4 = tr.validate(ValDS())
+    for k in m1:
+        np.testing.assert_allclose(m4[k], m1[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_validate_with_images(tmp_path, rng):
     class ValDS:
         def __len__(self):

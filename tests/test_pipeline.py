@@ -94,6 +94,21 @@ def test_pipeline_quantize_uint16(rng):
         np.testing.assert_allclose(quant[k], exact[k], atol=0.5 / 256 + 1e-6)
 
 
+def test_pipeline_quantize_warns_on_large_max_disp(rng):
+    """quantize_uint16 caps at 65535/256 px; combining it with a larger
+    max_disp must warn at construction (ADVICE r2)."""
+    import pytest
+
+    model = create_model("tiny", 5)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), 2.0, 300.0, ret_disp=True
+    )
+    with pytest.warns(UserWarning, match="255.996"):
+        DisparityPipeline(
+            model, variables, batch_size=2, max_disp=300.0, quantize_uint16=True
+        )
+
+
 def test_pipeline_device_normalize_bitwise(rng):
     """device_normalize=True uploads raw uint8 and normalizes on device.
     The host path's mean subtraction rounds through float64 (numpy
