@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
         "raw uint8 + on-device normalization (uint8 is 4x fewer "
         "host->device bytes and equal to 1 ulp)",
     )
+    p.add_argument(
+        "--num_devices", type=int, default=None,
+        help="shard each evaluation batch over this many chips (params "
+        "replicated; batch_size must be divisible by it)",
+    )
     return p
 
 
@@ -84,8 +89,14 @@ def main(argv=None) -> None:
     model_name = args.model or name or "B"
     num_levels = args.no_levels or levels
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from fal_net_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.num_devices)
     model = create_model(
-        model_name, num_levels, dtype=dtype, a_maskr_quirk=args.maskr_quirk
+        model_name, num_levels, dtype=dtype, a_maskr_quirk=args.maskr_quirk,
+        med_mesh=mesh,  # keeps the fused MED head under sharding (save_pan)
     )
     print(f"=> loaded {model_name} (N={model.num_levels}) from {args.pretrained}")
 
@@ -115,7 +126,7 @@ def main(argv=None) -> None:
         save_point_cloud=args.save_pc,
         save_path=args.save_path,
     )
-    metrics = Evaluator(model, variables, cfg).run(dataset)
+    metrics = Evaluator(model, variables, cfg, mesh=mesh).run(dataset)
     print({k: round(v, 4) for k, v in metrics.items()})
 
 

@@ -90,10 +90,27 @@ class EvalConfig:
 
 
 class Evaluator:
-    def __init__(self, model, variables, cfg: EvalConfig):
+    def __init__(self, model, variables, cfg: EvalConfig, mesh=None):
+        """``mesh``: shard each evaluation batch over the mesh's 'data'
+        axis (params replicated, XLA partitions the forward) — multi-chip
+        batched evaluation.  batch_size must be divisible by the axis
+        size.  Pass the same mesh as ``med_mesh`` to ``create_model`` when
+        artifact export (pan/masks, the fused MED head) is wanted."""
         self.model = model
-        self.variables = variables
         self.cfg = cfg
+        self._batch_sharding = None
+        if mesh is not None:
+            from fal_net_tpu.parallel.mesh import batch_sharding, replicate_sharding
+
+            ndata = mesh.shape.get("data", 1)
+            if cfg.batch_size % ndata != 0:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} is not divisible by the "
+                    f"mesh 'data' axis size {ndata} (mesh {dict(mesh.shape)})"
+                )
+            variables = jax.device_put(variables, replicate_sharding(mesh))
+            self._batch_sharding = batch_sharding(mesh)
+        self.variables = variables
         if cfg.quantize_transfer and cfg.max_disp * cfg.rel_baseline > 65535 / 256.0:
             import warnings
 
@@ -153,21 +170,39 @@ class Evaluator:
         return jax.jit(step, static_argnames=("pan", "subocc"))
 
     # ------------------------------------------------------------------
-    def _dispatch(self, items: List[Tuple[int, Dict[str, Any], np.ndarray]]):
-        """Launch one bucket batch (padded to batch_size) asynchronously.
-
-        Returns (items, device outputs, dispatch timestamp); nothing blocks
-        until the matching ``_collect``.
-        """
-        cfg = self.cfg
-        want_artifacts = cfg.save and cfg.save_pan
+    def _stage(self, items: List[Tuple[int, Dict[str, Any], np.ndarray]]):
+        """Start the host->device upload of one bucket batch (padded to
+        batch_size) on the staging thread, so it overlaps the previous
+        batch's device->host fetch and per-image host work.  Returns
+        (items, future-of-device-array, stage timestamp)."""
         lefts = [left for _, _, left in items]
-        pad = cfg.batch_size - len(lefts) if len(lefts) < cfg.batch_size else 0
+        pad = self.cfg.batch_size - len(lefts) if len(lefts) < self.cfg.batch_size else 0
         batch_np = np.stack(lefts + [np.zeros_like(lefts[0])] * pad)
         start = time.time()
+        fut = self._uploader.submit(
+            jax.device_put, batch_np, self._batch_sharding
+        )
+        return items, fut, start
+
+    @functools.cached_property
+    def _uploader(self):
+        import concurrent.futures
+
+        # one thread: uploads stay ordered and the link is serial anyway
+        return concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def _dispatch(self, staged):
+        """Launch the forward for a staged (uploaded) batch asynchronously.
+
+        Returns (items, device outputs, stage timestamp); nothing blocks
+        until the matching ``_collect``.
+        """
+        items, fut, start = staged
+        cfg = self.cfg
+        want_artifacts = cfg.save and cfg.save_pan
         out, disp = self._jit_eval_step(
             self.variables,
-            jnp.asarray(batch_np),
+            fut.result(),
             pan=want_artifacts,
             subocc=want_artifacts,
         )
@@ -299,8 +334,9 @@ class Evaluator:
 
         def submit(items):
             nonlocal pending, done
-            dispatched = self._dispatch(items)
+            staged = self._stage(items)  # upload streams in the background
             if pending is not None:
+                # fetch + per-image host work overlap the upload above
                 self._collect(pending, meters, out_dirs)
                 done += len(pending[0])
                 if done - last_print[0] >= cfg.print_freq:
@@ -309,7 +345,7 @@ class Evaluator:
                     print(
                         f"Test: [{done}/{n}] Time {meters['batch_time']} a1 {a1:.4f}"
                     )
-            pending = dispatched
+            pending = self._dispatch(staged)
 
         for i in range(n):
             sample = dataset.get(i)

@@ -231,6 +231,73 @@ def test_evaluator_artifact_export(tmp_path):
     np.testing.assert_allclose(got, np.rint(want[..., 0]), atol=1)
 
 
+def test_sharded_eval_matches_single_device(tmp_path):
+    """mesh= shards each evaluation batch over the 'data' axis (params
+    replicated); metrics must match the unsharded evaluator."""
+    from fal_net_tpu.parallel.mesh import make_mesh
+
+    model, variables = _make_model()
+
+    def run(mesh):
+        cfg = EvalConfig(
+            dataset="Kitti2015",
+            ms_post_process=True,
+            batch_size=2,
+            save_path=str(tmp_path / f"m{mesh is not None}"),
+            print_freq=10,
+        )
+        return Evaluator(model, variables, cfg, mesh=mesh).run(SyntheticEval(n=3))
+
+    plain, sharded = run(None), run(make_mesh(2))
+    for k in ("abs_rel", "sq_rel", "rms", "a1", "epe"):
+        np.testing.assert_allclose(sharded[k], plain[k], rtol=1e-5, atol=1e-6, err_msg=k)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        Evaluator(
+            model, variables,
+            EvalConfig(dataset="Kitti2015", batch_size=3),
+            mesh=make_mesh(2),
+        )
+
+
+def test_crop_top_95_batched(tmp_path):
+    """'Owndata' crop_top_95 composes with bucket batching: buckets key on
+    the CROPPED shape and metrics match the batch-1 run."""
+    model = create_model("tiny", 5)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 1242, 3)), 2.0, 300.0, ret_disp=True
+    )
+
+    class NoGT:
+        def __len__(self):
+            return 3
+
+        def get(self, i, rng=None):
+            r = np.random.default_rng(i)
+            # 68 rows -> int(0.95*68) = 64 rows after the crop
+            return {"left": r.random((68, 1242, 3)).astype(np.float32) - 0.5,
+                    "name": f"c{i}"}
+
+    outs = {}
+    for bs in (1, 2):
+        cfg = EvalConfig(
+            dataset="Kitti2015", ms_post_process=False, crop_top_95=True,
+            batch_size=bs, save=True, save_path=str(tmp_path / f"b{bs}"),
+            print_freq=10,
+        )
+        Evaluator(model, variables, cfg).run(NoGT(), evaluate=False)
+        from PIL import Image
+
+        outs[bs] = np.stack([
+            np.asarray(Image.open(tmp_path / f"b{bs}" / "disp" / f"{i:010d}.png"))
+            for i in range(3)
+        ])
+    assert outs[1].shape[1] == 64  # crop applied
+    np.testing.assert_array_equal(outs[2], outs[1])
+
+
 def test_flip_pp_path(tmp_path):
     model, variables = _make_model()
     cfg = EvalConfig(
