@@ -382,5 +382,13 @@ class Evaluator:
             f.write(f"EPE {meters['epe'].avg}\n")
             f.write("Kitti metrics:\n")
             f.write(repr(source) + "\n")
+        # machine-readable sibling of errors.txt (same stream format as the
+        # trainer's MetricsLogger JSONL)
+        import json
+
+        with open(os.path.join(cfg.save_path, "metrics.json"), "w") as f:
+            json.dump(
+                {"n_params": n_params, "n_images": n, **metrics}, f, indent=1
+            )
         print(repr(source))
         return metrics

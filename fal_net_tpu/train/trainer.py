@@ -414,7 +414,14 @@ class Trainer:
         kitti_errors = MultiAverageMeter(KITTI_ERROR_NAMES)
 
         def process(items):
-            lefts = np.stack([np.asarray(s["left"], np.float32) for _, s in items])
+            lefts = np.stack([np.asarray(s["left"]) for _, s in items])
+            if lefts.dtype == np.uint8:
+                # raw_uint8 eval datasets: normalize host-side here (the
+                # validation forward has no device-normalize stage)
+                from fal_net_tpu.data.transforms import normalize
+
+                lefts = normalize(lefts)
+            lefts = lefts.astype(np.float32, copy=False)
             pad = bs - len(items)
             if pad:
                 lefts = np.concatenate([lefts, np.zeros_like(lefts[:1]).repeat(pad, 0)])

@@ -73,6 +73,11 @@ def test_evaluator_kitti2015_metrics(tmp_path):
 
     txt = open(tmp_path / "errors.txt").read()
     assert f"Number of parameters {count_params(variables)}" in txt
+    # machine-readable sibling
+    import json
+
+    mj = json.load(open(tmp_path / "metrics.json"))
+    assert mj["n_images"] == 2 and np.isclose(mj["abs_rel"], metrics["abs_rel"])
 
 
 def test_batched_eval_metric_identity(tmp_path):
@@ -296,6 +301,52 @@ def test_crop_top_95_batched(tmp_path):
         ])
     assert outs[1].shape[1] == 64  # crop applied
     np.testing.assert_array_equal(outs[2], outs[1])
+
+
+def test_artifact_export_raw_uint8(tmp_path):
+    """save/save_pan artifact export composes with raw-uint8 upload: the
+    feature/input/pc exporters normalize the uint8 on host and outputs
+    match the float-upload run byte-for-byte (PNG pixel equality)."""
+    from PIL import Image
+
+    from fal_net_tpu.data.transforms import normalize
+
+    model, variables = _make_model()
+
+    class OneImg:
+        def __init__(self, raw):
+            self.raw = raw
+
+        def __len__(self):
+            return 1
+
+        def get(self, i, rng=None):
+            r = np.random.default_rng(0)
+            img = r.integers(0, 256, (64, 1242, 3), dtype=np.uint8)
+            return {"left": img if self.raw else normalize(img), "name": "x"}
+
+    outs = {}
+    for raw in (False, True):
+        cfg = EvalConfig(
+            dataset="Kitti2015", ms_post_process=False, save=True,
+            save_pan=True, save_input=True, save_point_cloud=True,
+            batch_size=2, save_path=str(tmp_path / f"r{raw}"), print_freq=10,
+        )
+        Evaluator(model, variables, cfg).run(OneImg(raw), evaluate=False)
+        d = tmp_path / f"r{raw}"
+        outs[raw] = {
+            p.relative_to(d): np.asarray(Image.open(p))
+            for p in sorted(d.rglob("*.png"))
+        }
+    assert outs[False].keys() == outs[True].keys() and len(outs[True]) >= 5
+    for k in outs[False]:
+        # device vs host normalization differ by 1 ulp; the plasma
+        # colormap can turn that into a couple of 8-bit color steps on a
+        # handful of pixels (measured: 5/318k pixels off by 2)
+        np.testing.assert_allclose(
+            outs[True][k].astype(np.int64), outs[False][k].astype(np.int64),
+            atol=3, err_msg=str(k),
+        )
 
 
 def test_flip_pp_path(tmp_path):

@@ -96,3 +96,41 @@ def test_hshift_traced_shift_jits(rng):
     out = f(x, jnp.float32(3.5))
     ref = hshift(x, 3.5, axis=-2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("n,h,w,mn,mx", [
+    (5, 6, 33, 1.0, 12.0),
+    (9, 8, 96, 2.0, 30.0),
+    (7, 4, 127, 0.5, 64.0),
+    (3, 16, 256, 2.0, 300.0),
+])
+def test_hshift_planes_quirk_matches_grid_sample(rng, n, h, w, mn, mx):
+    """Property sweep of the FAL_netA maskR quirk sampler (ac=False
+    grid_sample of an ac=True grid, models/FAL_netA.py:264) across plane
+    counts / odd widths / disparity ranges, vs the torch transcription."""
+    from fal_net_tpu.ops.shift import hshift_planes_quirk
+
+    x = rng.standard_normal((1, n, h, w)).astype(np.float32)  # NCHW planes
+    levels = mx * np.exp(
+        np.log(mx / mn) * (np.arange(n) / (n - 1) - 1.0)
+    ).astype(np.float64)
+
+    t = torch.from_numpy(x)
+    theta = torch.zeros(1, 2, 3)
+    theta[:, 0, 0] = 1
+    theta[:, 1, 1] = 1
+    i_grid = F.affine_grid(theta, [1, n, h, w], align_corners=True)
+    want = np.empty_like(x)
+    for k in range(n):
+        g = i_grid.clone()
+        g[:, :, :, 0] = g[:, :, :, 0] + 2.0 * levels[k] / w
+        want[:, k] = F.grid_sample(t[:, k:k+1], g).numpy()[:, 0]
+
+    got = np.asarray(
+        hshift_planes_quirk(
+            jnp.asarray(x.transpose(0, 2, 3, 1)),  # (1, H, W, N)
+            jnp.asarray(levels, jnp.float32),
+            axis=-2,
+        )
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
