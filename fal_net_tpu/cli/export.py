@@ -23,6 +23,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=1280)
+    p.add_argument(
+        "--sizes", default=None,
+        help="comma-separated HxW list (e.g. 375x1242,370x1226): export a "
+        "multi-shape BUNDLE covering every bucket (overrides "
+        "--height/--width); the loaded artifact dispatches by input shape",
+    )
     p.add_argument("--max_disp", type=float, default=300.0)
     p.add_argument("--min_disp", type=float, default=2.0)
     p.add_argument("--pan", action="store_true", help="also emit the pan view")
@@ -57,12 +63,8 @@ def main(argv=None) -> None:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = create_model(args.model or name or "B", args.no_levels or levels,
                          dtype=dtype)
-    blob = export_forward(
-        model,
-        variables,
+    kw = dict(
         batch=args.batch,
-        height=args.height,
-        width=args.width,
         min_disp=args.min_disp,
         max_disp=args.max_disp,
         ret_pan=args.pan,
@@ -70,6 +72,19 @@ def main(argv=None) -> None:
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
         uint8_input=args.uint8_input,
     )
+    if args.sizes:
+        from fal_net_tpu.serve import export_bundle
+
+        shapes = []
+        for tok in args.sizes.split(","):
+            h, w = tok.strip().lower().split("x")
+            shapes.append((int(h), int(w)))
+        batch = kw.pop("batch")
+        blob = export_bundle(model, variables, shapes, batch=batch, **kw)
+    else:
+        blob = export_forward(
+            model, variables, height=args.height, width=args.width, **kw
+        )
     save_exported(args.out, blob)
     print(f"=> exported {len(blob)} bytes to {args.out}")
 

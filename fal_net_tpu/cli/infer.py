@@ -111,11 +111,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _run_artifact(fwd, items) -> Iterator[Tuple[str, np.ndarray]]:
-    """``fwd``: a loaded ``serve.load_exported`` artifact."""
+    """``fwd``: a loaded ``serve.load_exported`` artifact (single-shape or
+    multi-shape bundle — images are bucketed by their resized shape and
+    each bucket batches independently)."""
     bs = fwd.meta["batch"]
-    names, imgs = [], []
+    buckets = {}
 
-    def flush():
+    def flush(key):
+        names, imgs = buckets.pop(key)
         pad = bs - len(imgs)
         batch = np.stack(imgs + [np.zeros_like(imgs[0])] * pad)
         disp = np.asarray(fwd(batch)[0])[..., 0]
@@ -123,13 +126,13 @@ def _run_artifact(fwd, items) -> Iterator[Tuple[str, np.ndarray]]:
             yield name, disp[i]
 
     for name, img in items:
+        names, imgs = buckets.setdefault(img.shape, ([], []))
         names.append(name)
         imgs.append(img)
         if len(imgs) == bs:
-            yield from flush()
-            names, imgs = [], []
-    if imgs:
-        yield from flush()
+            yield from flush(img.shape)
+    for key in list(buckets):
+        yield from flush(key)
 
 
 def main(argv=None) -> None:
@@ -169,8 +172,24 @@ def main(argv=None) -> None:
 
         artifact_fwd = load_exported(args.artifact)
         height, width = artifact_fwd.meta["height"], artifact_fwd.meta["width"]
+        bundle_shapes = [tuple(s) for s in artifact_fwd.meta.get("shapes", [])]
     else:
         height, width = args.height, args.width
+        bundle_shapes = []
+
+    def pick_target(orig_hw):
+        """Nearest bundle bucket by log-scale distance (keeps aspect and
+        resolution close, minimizing resample error); single-shape
+        artifacts / checkpoint mode use the fixed (height, width)."""
+        if not bundle_shapes:
+            return height, width
+        import math
+
+        oh, ow = orig_hw
+        return min(
+            bundle_shapes,
+            key=lambda s: abs(math.log(s[0] / oh)) + abs(math.log(s[1] / ow)),
+        )
 
     # Unique output names: the stem alone collides for inputs differing
     # only by extension (img.jpg + img.png), which would restore the wrong
@@ -192,7 +211,14 @@ def main(argv=None) -> None:
     def items(raw_uint8: bool):
         loader = load_uint8 if raw_uint8 else load_normalized
         for path in paths:
-            img, orig = loader(path, height, width)
+            if bundle_shapes:
+                from PIL import Image
+
+                with Image.open(path) as im0:  # header only, no decode
+                    th, tw = pick_target((im0.height, im0.width))
+            else:
+                th, tw = height, width
+            img, orig = loader(path, th, tw)
             name = names[path]
             origs[name] = (orig, path)
             yield name, img

@@ -410,6 +410,28 @@ def mixed_train(datasets) -> ConcatDataset:
     return ConcatDataset(list(datasets))
 
 
+def kitti_cs_train(
+    root: str,
+    split=1,
+    co_transform: Optional[Compose] = None,
+    max_pix: float = 300.0,
+    fix: bool = True,
+    lists_dir: Optional[str] = None,
+):
+    """KITTI + CityScapes mixed training (BASELINE config 5; the reference
+    ships the Cityscapes dataset but defers the mixed trainer —
+    README.md:30).  ``root`` is one directory containing both trees, or
+    ``'KITTI_ROOT,CITYSCAPES_ROOT'``.  Validation stays KITTI-side."""
+    parts = [p for p in root.split(",") if p]
+    k_root = parts[0]
+    c_root = parts[1] if len(parts) > 1 else parts[0]
+    k_train, k_val = kitti_train(
+        k_root, split, co_transform, max_pix, fix, lists_dir
+    )
+    c_train, _ = cityscapes_jpg(c_root, split, co_transform, max_pix, fix)
+    return mixed_train([k_train, c_train]), k_val
+
+
 # Reference-compatible name lookup (Datasets.__dict__[name] pattern).
 REGISTRY: Dict[str, Callable] = {
     "Kitti": kitti_train,
@@ -420,6 +442,8 @@ REGISTRY: Dict[str, Callable] = {
     "Kitti_eigen_test_original": kitti_eigen_test_original,
     "Cityscapes_jpg": cityscapes_jpg,
     "cityscapes": cityscapes_jpg,
+    "Kitti_CS": kitti_cs_train,  # BASELINE config 5: mixed training
+    "kitti_cs": kitti_cs_train,
     "Make3D": make3d,
     "make3d": make3d,
 }

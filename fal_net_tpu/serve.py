@@ -23,13 +23,14 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Sequence
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
 MAGIC = b"FALNETTPU_EXPORT1\n"
+MAGIC_BUNDLE = b"FALNETTPU_BUNDLE1\n"
 
 
 def export_forward(
@@ -118,19 +119,47 @@ def export_forward(
     )
 
 
+def export_bundle(
+    model,
+    variables,
+    shapes: Sequence[Tuple[int, int]],
+    *,
+    batch: int = 1,
+    **kw,
+) -> bytes:
+    """Export one artifact per (height, width) into a single bundle file.
+
+    KITTI raw mixes a handful of widths (myUtils.py:177-183); a bundle
+    covers every bucket so a serving host dispatches by input shape with
+    one file.  ``kw`` is forwarded to :func:`export_forward` (min/max
+    disp, outputs, platforms, uint8_input).
+    """
+    blobs = [
+        export_forward(model, variables, batch=batch, height=h, width=w, **kw)
+        for h, w in shapes
+    ]
+    meta = {
+        "shapes": [list(s) for s in shapes],
+        "batch": batch,
+        "count": len(blobs),
+    }
+    meta_blob = json.dumps(meta).encode()
+    out = [MAGIC_BUNDLE, len(meta_blob).to_bytes(8, "little"), meta_blob]
+    for b in blobs:
+        out.append(len(b).to_bytes(8, "little"))
+        out.append(b)
+    return b"".join(out)
+
+
 def save_exported(path: str, blob: bytes) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(blob)
 
 
-def load_exported(path: str):
-    """Load a serving artifact; returns ``fwd(left) -> tuple(outputs)``
-    with ``fwd.meta`` describing shapes and output names."""
-    with open(path, "rb") as f:
-        blob = f.read()
+def _load_single(blob: bytes, origin: str):
     if not blob.startswith(MAGIC):
-        raise ValueError(f"{path}: not a falnet-tpu export artifact")
+        raise ValueError(f"{origin}: not a falnet-tpu export artifact")
     off = len(MAGIC)
     meta_len = int.from_bytes(blob[off : off + 8], "little")
     off += 8
@@ -141,4 +170,45 @@ def load_exported(path: str):
         return exported.call(left)
 
     fwd.meta = meta  # type: ignore[attr-defined]
+    return fwd
+
+
+def load_exported(path: str):
+    """Load a serving artifact; returns ``fwd(left) -> tuple(outputs)``
+    with ``fwd.meta`` describing shapes and output names.
+
+    Bundles (``export_bundle``) load to a dispatcher: ``fwd(left)`` picks
+    the export matching ``left.shape[1:3]`` (ValueError on a shape not in
+    the bundle); ``fwd.meta['shapes']`` lists the buckets and the other
+    meta fields come from the first export.
+    """
+    with open(path, "rb") as f:
+        blob = f.read()
+    if not blob.startswith(MAGIC_BUNDLE):
+        return _load_single(blob, path)
+
+    off = len(MAGIC_BUNDLE)
+    meta_len = int.from_bytes(blob[off : off + 8], "little")
+    off += 8
+    bmeta = json.loads(blob[off : off + meta_len].decode())
+    off += meta_len
+    by_shape = {}
+    for _ in range(bmeta["count"]):
+        blen = int.from_bytes(blob[off : off + 8], "little")
+        off += 8
+        f = _load_single(blob[off : off + blen], path)
+        by_shape[(f.meta["height"], f.meta["width"])] = f
+        off += blen
+
+    def fwd(left):
+        hw = tuple(left.shape[1:3])
+        if hw not in by_shape:
+            raise ValueError(
+                f"input shape {hw} not in bundle; have {sorted(by_shape)}"
+            )
+        return by_shape[hw](left)
+
+    first = by_shape[tuple(bmeta["shapes"][0])]
+    fwd.meta = {**first.meta, **bmeta}  # type: ignore[attr-defined]
+    fwd.by_shape = by_shape  # type: ignore[attr-defined]
     return fwd

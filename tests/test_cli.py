@@ -16,6 +16,18 @@ from fal_net_tpu.cli import train as cli_train
 def tree(tmp_path_factory):
     root = tmp_path_factory.mktemp("kitti")
     rng = np.random.default_rng(3)
+
+    # CityScapes corner (Kitti_CS mixed training)
+    for side in ("leftImg8bit", "rightImg8bit"):
+        d = root / side / "train" / "city0"
+        d.mkdir(parents=True, exist_ok=True)
+    for i in range(2):
+        for side in ("leftImg8bit", "rightImg8bit"):
+            img = rng.integers(0, 255, (72, 240, 3), dtype=np.uint8)
+            Image.fromarray(img).save(
+                root / side / "train" / "city0" / f"f{i}_{side}.jpg"
+            )
+
     pairs = []
     drive = "2011_09_26/2011_09_26_drive_0001_sync"
     for i in range(4):
@@ -201,6 +213,34 @@ def test_random_vgg_guard(tree, tmp_path):
     assert any(
         f == "checkpoint.msgpack"
         for _, _, fs in os.walk(tmp_path / "run")
+        for f in fs
+    )
+
+
+def test_kitti_cs_mixed_training_cli(tree, tmp_path):
+    """--dataset Kitti_CS (BASELINE config 5): one registry factory mixes
+    the KITTI Eigen pairs with the CityScapes tree; one CLI train step
+    runs end-to-end over the concatenated dataset."""
+    from fal_net_tpu.data.datasets import kitti_cs_train
+
+    train, _ = kitti_cs_train(str(tree), split=1, lists_dir=str(tree / "lists"))
+    assert len(train) == 4 + 2  # 4 KITTI pairs + 2 CityScapes pairs
+    rng = np.random.default_rng(0)
+    assert train.get(0, rng)["left"].dtype == np.float32
+    assert train.get(5, rng)["left"].dtype == np.float32  # CS item reachable
+
+    cli_train.main([
+        "--stage", "1", "--model", "tiny", "--no_levels", "5",
+        "--dataset", "Kitti_CS",
+        "--data_root", str(tree), "--lists_dir", str(tree / "lists"),
+        "--batch_size", "2", "--epochs", "1", "--epoch_size", "1",
+        "--crop_height", "48", "--crop_width", "96",
+        "--a_p", "0", "--max_disp", "30", "--workers", "2",
+        "--save_path", str(tmp_path / "run_cs"),
+    ])
+    assert any(
+        f == "checkpoint.msgpack"
+        for _, _, fs in os.walk(tmp_path / "run_cs")
         for f in fs
     )
 

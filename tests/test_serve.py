@@ -156,6 +156,69 @@ def test_export_bf16_artifact(tmp_path, tiny):
     assert load_exported(p32).meta["dtype"] == "float32"
 
 
+def test_export_bundle_dispatch(tmp_path, tiny):
+    """Multi-shape bundle: one file, per-shape dispatch by input shape,
+    shape-mismatch error, outputs identical to the live model."""
+    from fal_net_tpu.serve import export_bundle
+
+    model, variables, x = tiny
+    shapes = [(16, 32), (24, 48)]
+    blob = export_bundle(
+        model, variables, shapes, batch=1,
+        min_disp=2.0, max_disp=30.0, platforms=("cpu",),
+    )
+    path = str(tmp_path / "tiny_bundle.jaxexp")
+    save_exported(path, blob)
+    fwd = load_exported(path)
+    assert [tuple(s) for s in fwd.meta["shapes"]] == shapes
+
+    rng = np.random.default_rng(5)
+    for h, w in shapes:
+        xi = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+        (disp,) = fwd(xi)
+        ref = model.apply(variables, xi, 2.0, 30.0, ret_disp=True).disp
+        np.testing.assert_allclose(np.asarray(disp), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="not in bundle"):
+        fwd(jnp.zeros((1, 20, 40, 3), jnp.float32))
+
+
+def test_infer_cli_bundle(tmp_path, tiny):
+    """cli.infer with a --sizes bundle routes each image to its nearest
+    bucket (by log-scale distance) and writes full-size outputs."""
+    import os
+
+    from PIL import Image
+
+    from flax import serialization
+    from fal_net_tpu.cli.export import main as export_main
+    from fal_net_tpu.cli.infer import main as infer_main
+
+    model, variables, x = tiny
+    ckpt = tmp_path / "tiny.msgpack"
+    ckpt.write_bytes(serialization.to_bytes(jax.device_get(variables)))
+    art = str(tmp_path / "bundle.jaxexp")
+    export_main([
+        "--pretrained", str(ckpt), "--model", "tiny", "--no_levels", "5",
+        "--batch", "2", "--sizes", "16x32,32x64",
+        "--max_disp", "30.0", "--platforms", "cpu", "--out", art,
+    ])
+    d = tmp_path / "frames"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    # near 16x32 and near 32x64 respectively
+    for name, (h, w) in [("s", (15, 30)), ("l", (34, 70)), ("s2", (16, 32))]:
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(d / f"{name}.png")
+    out = str(tmp_path / "out_bundle")
+    infer_main(["--images", str(d), "--out_dir", out, "--artifact", art])
+    from fal_net_tpu.data.datasets import load_kitti_disp_png
+
+    for name, (h, w) in [("s", (15, 30)), ("l", (34, 70)), ("s2", (16, 32))]:
+        disp = load_kitti_disp_png(os.path.join(out, f"{name}_disp.png"))[..., 0]
+        assert disp.shape == (h, w), name
+
+
 def test_infer_cli_uint8_artifact(tmp_path, tiny):
     """cli.infer auto-detects a uint8-input artifact from its metadata."""
     from flax import serialization
