@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
         "multi-shape BUNDLE covering every bucket (overrides "
         "--height/--width); the loaded artifact dispatches by input shape",
     )
+    p.add_argument(
+        "--with_ms_pp", action="store_true",
+        help="also export each size's 2/3-scale shape, so artifact-based "
+        "evaluation (cli.test --artifact) can run the default multi-scale "
+        "post-processing",
+    )
     p.add_argument("--max_disp", type=float, default=300.0)
     p.add_argument("--min_disp", type=float, default=2.0)
     p.add_argument("--pan", action="store_true", help="also emit the pan view")
@@ -72,13 +78,22 @@ def main(argv=None) -> None:
         platforms=tuple(s.strip() for s in args.platforms.split(",") if s.strip()),
         uint8_input=args.uint8_input,
     )
+    shapes = []
     if args.sizes:
-        from fal_net_tpu.serve import export_bundle
-
-        shapes = []
         for tok in args.sizes.split(","):
             h, w = tok.strip().lower().split("x")
             shapes.append((int(h), int(w)))
+    elif args.with_ms_pp:
+        shapes = [(args.height, args.width)]
+    if args.with_ms_pp:
+        up_fac = 2.0 / 3.0  # eval/postprocess.py::ms_post_process scale
+        for h, w in list(shapes):
+            small = (int(h * up_fac), int(w * up_fac))
+            if small not in shapes:
+                shapes.append(small)
+    if shapes:
+        from fal_net_tpu.serve import export_bundle
+
         batch = kw.pop("batch")
         blob = export_bundle(model, variables, shapes, batch=batch, **kw)
     else:

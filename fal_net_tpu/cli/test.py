@@ -32,8 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=sorted(EVAL_DATASETS))
     p.add_argument("--data_root", required=True)
     p.add_argument("--lists_dir", default=None)
-    p.add_argument("--pretrained", required=True,
-                   help="native .msgpack or reference .pth.tar checkpoint")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pretrained",
+                     help="native .msgpack or reference .pth.tar checkpoint")
+    src.add_argument("--artifact",
+                     help="AOT serving artifact/bundle from cli.export — "
+                     "evaluate exactly the deployed forward, no model code "
+                     "or checkpoint needed (ms-pp needs a --with_ms_pp "
+                     "bundle)")
     p.add_argument("--model", default=None, help="override model variant")
     p.add_argument("--no_levels", type=int, default=None)
     p.add_argument("--max_disp", type=float, default=300.0)
@@ -85,20 +91,31 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     args = build_parser().parse_args(argv)
-    variables, name, levels = load_params_any(args.pretrained)
-    model_name = args.model or name or "B"
-    num_levels = args.no_levels or levels
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    artifact_fwd = model = variables = None
     mesh = None
-    if args.num_devices and args.num_devices > 1:
-        from fal_net_tpu.parallel.mesh import make_mesh
+    if args.artifact:
+        from fal_net_tpu.serve import load_exported
 
-        mesh = make_mesh(args.num_devices)
-    model = create_model(
-        model_name, num_levels, dtype=dtype, a_maskr_quirk=args.maskr_quirk,
-        med_mesh=mesh,  # keeps the fused MED head under sharding (save_pan)
-    )
-    print(f"=> loaded {model_name} (N={model.num_levels}) from {args.pretrained}")
+        artifact_fwd = load_exported(args.artifact)
+        print(
+            f"=> loaded artifact {args.artifact} "
+            f"({artifact_fwd.meta.get('variant')}, "
+            f"shapes {artifact_fwd.meta.get('shapes') or [[artifact_fwd.meta['height'], artifact_fwd.meta['width']]]})"
+        )
+    else:
+        variables, name, levels = load_params_any(args.pretrained)
+        model_name = args.model or name or "B"
+        num_levels = args.no_levels or levels
+        dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        if args.num_devices and args.num_devices > 1:
+            from fal_net_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.num_devices)
+        model = create_model(
+            model_name, num_levels, dtype=dtype, a_maskr_quirk=args.maskr_quirk,
+            med_mesh=mesh,  # keeps the fused MED head under sharding (save_pan)
+        )
+        print(f"=> loaded {model_name} (N={model.num_levels}) from {args.pretrained}")
 
     factory = EVAL_DATASETS[args.tdataName]
     try:
@@ -106,7 +123,13 @@ def main(argv=None) -> None:
     except TypeError:
         _, dataset = factory(args.data_root, split=0)
     print(f"=> {len(dataset)} evaluation samples")
-    if not args.fp32_upload and hasattr(dataset, "raw_uint8"):
+    if artifact_fwd is not None:
+        # dataset dtype must match the artifact input signature (the
+        # artifact's own input stage decides about normalization)
+        raw = artifact_fwd.meta.get("input") == "uint8"
+        if hasattr(dataset, "raw_uint8"):
+            dataset.raw_uint8 = raw
+    elif not args.fp32_upload and hasattr(dataset, "raw_uint8"):
         dataset.raw_uint8 = True  # 4x fewer upload bytes; Evaluator
         #                           normalizes on device (1-ulp equal)
 
@@ -126,7 +149,11 @@ def main(argv=None) -> None:
         save_point_cloud=args.save_pc,
         save_path=args.save_path,
     )
-    metrics = Evaluator(model, variables, cfg, mesh=mesh).run(dataset)
+    if artifact_fwd is not None:
+        evaluator = Evaluator.from_artifact(artifact_fwd, cfg)
+    else:
+        evaluator = Evaluator(model, variables, cfg, mesh=mesh)
+    metrics = evaluator.run(dataset)
     print({k: round(v, 4) for k, v in metrics.items()})
 
 

@@ -99,6 +99,7 @@ class Evaluator:
         self.model = model
         self.cfg = cfg
         self._batch_sharding = None
+        self._artifact = None
         if mesh is not None:
             from fal_net_tpu.parallel.mesh import batch_sharding, replicate_sharding
 
@@ -122,6 +123,65 @@ class Evaluator:
                 stacklevel=2,
             )
 
+    @classmethod
+    def from_artifact(cls, fwd, cfg: EvalConfig) -> "Evaluator":
+        """Evaluate a compiled serving artifact (``serve.load_exported``)
+        instead of a live model — the full protocol (bucketed batches,
+        post-processing, metrics, exports) against EXACTLY the deployed
+        forward, with no model code or checkpoint on the eval host.
+
+        Requirements:
+          * ``cfg.batch_size`` is forced to the artifact's baked batch.
+          * ``ms_post_process`` needs the 2/3-scale shape of every image
+            shape in the bundle too (``cli.export --sizes ... --with_ms_pp``
+            adds them automatically); a missing shape raises with the
+            available buckets listed.
+          * dataset dtype must match the artifact input signature: raw
+            uint8 datasets for ``--uint8_input`` artifacts, float
+            otherwise (the artifact's own normalization stage decides —
+            the evaluator does not re-normalize here).
+          * pan/mask artifact export (``cfg.save_pan``) needs an artifact
+            exported with pan+subocc outputs.
+        """
+        self = cls.__new__(cls)
+        self.model = None
+        self.variables = None
+        self.cfg = cfg
+        self._batch_sharding = None
+        self._artifact = fwd
+        cfg.batch_size = int(fwd.meta["batch"])
+        if fwd.meta.get("input") == "uint8" and (
+            cfg.ms_post_process or cfg.f_post_process
+        ):
+            # post-processing resizes/flips the input for a second forward;
+            # that math needs float images, which a uint8-input artifact
+            # hides behind its baked normalization
+            raise ValueError(
+                "post-processed artifact evaluation needs a float32-input "
+                "artifact (re-export without --uint8_input), or disable "
+                "post-processing"
+            )
+        if cfg.save and cfg.save_pan and "pan" not in fwd.meta["outputs"]:
+            raise ValueError(
+                f"save_pan needs an artifact exported with --pan --subocc; "
+                f"this one emits {fwd.meta['outputs']}"
+            )
+        return self
+
+    def _artifact_forward(self, left, pan: bool, subocc: bool) -> "MedOutputs":
+        from fal_net_tpu.ops.med import MedOutputs
+
+        outs = self._artifact(left)
+        d = dict(zip(self._artifact.meta["outputs"], outs))
+        if pan and "pan" not in d:
+            raise ValueError(
+                f"artifact emits {sorted(d)} but pan/masks were requested"
+            )
+        return MedOutputs(
+            pan=d.get("pan"), disp=d["disp"],
+            maskL=d.get("maskL"), maskR=d.get("maskR"),
+        )
+
     @staticmethod
     def _prep(left):
         """Raw-uint8 batches (dataset ``raw_uint8=True``) normalize on
@@ -135,6 +195,8 @@ class Evaluator:
         return left
 
     def _forward(self, variables, left, *, pan: bool, subocc: bool):
+        if self._artifact is not None:
+            return self._artifact_forward(left, pan, subocc)
         return self.model.apply(
             variables,
             left,
@@ -153,7 +215,11 @@ class Evaluator:
         relay costs ~30 ms of round-trip before any bytes move)."""
 
         def step(variables, left, *, pan: bool, subocc: bool):
-            left = self._prep(left)
+            if self._artifact is None:
+                left = self._prep(left)
+            # else: the artifact's own input stage decides (uint8-input
+            # artifacts normalize internally; fp32 artifacts take
+            # host-normalized floats)
             out = self._forward(variables, left, pan=pan, subocc=subocc)
             disp_fn = lambda im: self._forward(
                 variables, im, pan=False, subocc=False
@@ -375,7 +441,10 @@ class Evaluator:
         # writes it unconditionally, independent of --save).
         from fal_net_tpu.utils.meters import count_params
 
-        n_params = count_params(self.variables)
+        if self._artifact is not None:
+            n_params = int(self._artifact.meta.get("n_params", 0))
+        else:
+            n_params = count_params(self.variables)
         os.makedirs(cfg.save_path, exist_ok=True)
         with open(os.path.join(cfg.save_path, "errors.txt"), "w") as f:
             f.write(f"Number of parameters {n_params}\n")

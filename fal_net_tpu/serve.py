@@ -109,6 +109,10 @@ def export_forward(
         # fp32: the logits conv emits fp32 from the MXU accumulator and
         # the MED head runs fp32 — models/falnet.py)
         "dtype": jnp.dtype(model.dtype).name,
+        # parameter count of the baked weights (reference prints it at
+        # eval time, Test_KITTI.py:277 — kept so artifact-based evaluation
+        # can report it without the checkpoint)
+        "n_params": sum(int(x.size) for x in jax.tree.leaves(variables)),
     }
     meta_blob = json.dumps(meta).encode()
     return (

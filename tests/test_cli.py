@@ -217,6 +217,40 @@ def test_random_vgg_guard(tree, tmp_path):
     )
 
 
+def test_eval_cli_from_artifact(tree, tmp_path):
+    """cli.test --artifact: the eval CLI drives a deployed bundle (no
+    checkpoint/model code) over KITTI-2015 and writes errors.txt."""
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from fal_net_tpu.cli import export as cli_export
+    from fal_net_tpu.models import create_model
+
+    model = create_model("tiny", 5)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 1242, 3)), 2.0, 30.0, ret_disp=True
+    )
+    ckpt = tmp_path / "tiny.msgpack"
+    ckpt.write_bytes(serialization.to_bytes(jax.device_get(variables)))
+    art = str(tmp_path / "eval.jaxexp")
+    cli_export.main([
+        "--pretrained", str(ckpt), "--model", "tiny", "--no_levels", "5",
+        "--batch", "2", "--height", "64", "--width", "1242",
+        "--max_disp", "30.0", "--platforms", "cpu", "--out", art,
+    ])
+    out = tmp_path / "eval_art"
+    cli_test.main([
+        "--tdataName", "Kitti2015",
+        "--data_root", str(tree),
+        "--artifact", art,
+        "--no_ms_post_process",
+        "--save_path", str(out),
+    ])
+    assert (out / "errors.txt").exists()
+    assert (out / "metrics.json").exists()
+
+
 def test_kitti_cs_mixed_training_cli(tree, tmp_path):
     """--dataset Kitti_CS (BASELINE config 5): one registry factory mixes
     the KITTI Eigen pairs with the CityScapes tree; one CLI train step

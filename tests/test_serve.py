@@ -219,6 +219,73 @@ def test_infer_cli_bundle(tmp_path, tiny):
         assert disp.shape == (h, w), name
 
 
+def test_artifact_evaluation_matches_live(tmp_path):
+    """Evaluator.from_artifact runs the full eval protocol (bucketed
+    batches, ms-pp, metrics) against a deployed bundle and matches the
+    live-model evaluator; ms-pp needs the 2/3-scale shapes in the bundle
+    (--with_ms_pp semantics)."""
+    from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
+    from fal_net_tpu.models import create_model
+    from fal_net_tpu.serve import export_bundle
+
+    h, w = 64, 1242
+    model = create_model("tiny", 5)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+
+    class DS:
+        def __len__(self):
+            return 3
+
+        def get(self, i, rng=None):
+            r = np.random.default_rng(i)
+            disp = (r.random((h, w, 1)) * 25).astype(np.float32)
+            disp[disp < 8] = 0
+            return {
+                "left": r.random((h, w, 3)).astype(np.float32) - 0.5,
+                "targets": [disp],
+                "name": f"a{i}",
+            }
+
+    up = 2.0 / 3.0
+    blob = export_bundle(
+        model, variables, [(h, w), (int(h * up), int(w * up))], batch=2,
+        min_disp=2.0, max_disp=30.0, platforms=("cpu",),
+    )
+    path = str(tmp_path / "eval_bundle.jaxexp")
+    save_exported(path, blob)
+    fwd = load_exported(path)
+    assert fwd.meta["n_params"] > 0
+
+    def cfg(p):
+        return EvalConfig(
+            dataset="Kitti2015", ms_post_process=True, batch_size=2,
+            max_disp=30.0, min_disp=2.0, save_path=str(tmp_path / p),
+            print_freq=10,
+        )
+
+    live = Evaluator(model, variables, cfg("live")).run(DS())
+    art = Evaluator.from_artifact(fwd, cfg("art")).run(DS())
+    for k in ("abs_rel", "sq_rel", "rms", "a1", "epe"):
+        np.testing.assert_allclose(art[k], live[k], rtol=1e-5, atol=1e-6, err_msg=k)
+    # errors.txt carries the baked param count
+    txt = open(tmp_path / "art" / "errors.txt").read()
+    assert f"Number of parameters {fwd.meta['n_params']}" in txt
+
+    # a shape missing from the bundle fails with the buckets listed
+    import pytest as _pytest
+
+    bad = export_bundle(
+        model, variables, [(h, w)], batch=2,
+        min_disp=2.0, max_disp=30.0, platforms=("cpu",),
+    )
+    save_exported(str(tmp_path / "noms.jaxexp"), bad)
+    ev = Evaluator.from_artifact(load_exported(str(tmp_path / "noms.jaxexp")), cfg("bad"))
+    with _pytest.raises(ValueError, match="not in bundle"):
+        ev.run(DS())
+
+
 def test_infer_cli_uint8_artifact(tmp_path, tiny):
     """cli.infer auto-detects a uint8-input artifact from its metadata."""
     from flax import serialization
