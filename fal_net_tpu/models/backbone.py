@@ -113,6 +113,9 @@ class FalNetBackbone(nn.Module):
     s2d_stem: bool = True
     s2d_tail: bool = False  # measured slower at batch 8 (4x redundant FLOPs
     #                         outweigh lane utilization once M is large)
+    phase_deconv: bool = True  # exact phase-decomposed deconvs (2.25x fewer
+    #                            FLOPs, 1.4-1.9x measured) at exact-2x
+    #                            upsamples; see ops/phase_deconv.py
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -166,9 +169,10 @@ class FalNetBackbone(nn.Module):
         y = skips[6]
         for j in range(6, 1, -1):  # deconv6..deconv2 fuse with skips 5..1
             skip = skips[j - 1]
-            d = Deconv(spec.deconv[6 - j], dtype=self.dtype, name=f"deconv{j}")(
-                y, (skip.shape[-3], skip.shape[-2])
-            )
+            d = Deconv(
+                spec.deconv[6 - j], dtype=self.dtype,
+                phase=self.phase_deconv, name=f"deconv{j}",
+            )(y, (skip.shape[-3], skip.shape[-2]))
             y = ConvElu(spec.iconv[6 - j], dtype=self.dtype, name=f"iconv{j}")(
                 jnp.concatenate([d, skip], axis=-1)
             )
@@ -204,9 +208,10 @@ class FalNetBackbone(nn.Module):
                 )(cat_s)
             )
         else:
-            d1 = Deconv(spec.deconv[5], dtype=self.dtype, name="deconv1")(
-                y, (x0.shape[-3], x0.shape[-2])
-            )
+            d1 = Deconv(
+                spec.deconv[5], dtype=self.dtype,
+                phase=self.phase_deconv, name="deconv1",
+            )(y, (x0.shape[-3], x0.shape[-2]))
             concat1 = jnp.concatenate([d1, x0], axis=-1)
             logits = ConvOp(
                 self.num_out,

@@ -56,6 +56,8 @@ class FalNet(nn.Module):
     med_impl: str = "auto"  # 'auto' | 'fused' | 'reference'
     s2d_stem: bool = True  # phase-domain full-res stem (+17%, ops/s2d.py)
     s2d_tail: bool = False  # measured slower at batch 8; kept selectable
+    phase_deconv: bool = True  # exact phase-decomposed decoder deconvs
+    #                            (1.4-1.9x measured, ops/phase_deconv.py)
     # Batch-data-parallel fused head: with a mesh whose med_axis size > 1,
     # the fused MED kernel runs per-device via shard_map (pallas_call has
     # no SPMD rule; without this, sharded runs lose the 1.85x fused head).
@@ -92,6 +94,7 @@ class FalNet(nn.Module):
             dtype=self.dtype,
             s2d_stem=self.s2d_stem,
             s2d_tail=self.s2d_tail,
+            phase_deconv=self.phase_deconv,
             name="backbone",
         )(left, flow)
         # The logits conv reads the backbone dtype but emits fp32 straight
@@ -179,6 +182,7 @@ def create_model(
     med_impl: str = "auto",
     s2d_stem: bool = True,
     s2d_tail: bool = False,
+    phase_deconv: bool = True,
     med_mesh: Optional[jax.sharding.Mesh] = None,
     med_axis: str = "data",
     med_spatial_axis: Optional[str] = None,
@@ -203,6 +207,7 @@ def create_model(
         med_impl=med_impl,
         s2d_stem=s2d_stem,
         s2d_tail=s2d_tail,
+        phase_deconv=phase_deconv,
         med_mesh=med_mesh,
         med_axis=med_axis,
         med_spatial_axis=med_spatial_axis,

@@ -84,7 +84,7 @@ class ConvOp(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     stride: int = 1
     use_bias: bool = True
-    domain: str = "plain"  # 'plain' | 's2d'
+    domain: str = "plain"  # 'plain' | 's2d' | 'up2'
     dtype: jnp.dtype = jnp.float32
     out_dtype: jnp.dtype | None = None
 
@@ -102,6 +102,19 @@ class ConvOp(nn.Module):
         kernel = kernel.astype(self.dtype)
         out_dtype = self.out_dtype or self.dtype
         bias = bias.astype(out_dtype) if bias is not None else None
+        if self.domain == "up2":
+            # conv3x3 over the nearest-2x upsample of x, phase-decomposed
+            # into four 2x2 convs at source resolution — exact, 2.25x
+            # fewer FLOPs, measured 1.4-1.9x at decoder shapes
+            # (ops/phase_deconv.py).  Same canonical (3,3,Ci,Co) param.
+            from fal_net_tpu.ops.phase_deconv import conv3x3_on_up2
+
+            assert (kh, kw) == (3, 3) and self.stride == 1
+            assert self.out_dtype is None, "out_dtype not plumbed for up2"
+            y = conv3x3_on_up2(x, kernel)
+            if bias is not None:
+                y = y + bias
+            return y
         if self.domain == "s2d":
             assert self.out_dtype is None, "out_dtype not plumbed for s2d"
             if self.stride == 1:
@@ -207,17 +220,35 @@ class Deconv(nn.Module):
     ``domain='s2d'``: the target is exactly 2x the input (even sizes), so
     the upsample's s2d is a phase tile of the input and the conv runs in
     the phase domain; returns the s2d-domain result.
+
+    ``phase=True`` (default): when the target is exactly 2x the input,
+    skip the materialized upsample entirely and run the phase-decomposed
+    conv (ConvOp ``domain='up2'`` — exact, 2.25x fewer FLOPs, measured
+    1.4-1.9x at the decoder shapes).  Non-2x targets (odd KITTI-raw
+    sizes) fall back to the plain resize+conv path; parameters are
+    identical either way.
     """
 
     features: int
     dtype: jnp.dtype = jnp.float32
     domain: str = "plain"
+    phase: bool = True
 
     @nn.compact
     def __call__(self, x, skip_hw: Tuple[int, int]):
+        h, w = x.shape[-3], x.shape[-2]
+        if self.domain == "plain" and self.phase and skip_hw == (2 * h, 2 * w):
+            x = ConvOp(
+                self.features,
+                (3, 3),
+                use_bias=False,
+                domain="up2",
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+            return nn.elu(x)
         if self.domain == "s2d":
-            h2, w2 = x.shape[-3], x.shape[-2]
-            assert skip_hw == (2 * h2, 2 * w2), (skip_hw, x.shape)
+            assert skip_hw == (2 * h, 2 * w), (skip_hw, x.shape)
             # s2d(nearest 2x upsample): all four phases equal the input
             x = jnp.tile(x[..., None, :], (1, 1, 1, 4, 1)).reshape(
                 x.shape[:-1] + (4 * x.shape[-1],)

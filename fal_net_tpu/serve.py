@@ -66,6 +66,7 @@ def export_forward(
         med_impl="reference",
         s2d_stem=model.s2d_stem,
         s2d_tail=model.s2d_tail,
+        phase_deconv=model.phase_deconv,
     )
 
     def fwd(left):
