@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "(preemption-safe; epoch restored from the checkpoint)")
     p.add_argument("--save_every_steps", type=int, default=0,
                    help="also checkpoint mid-epoch every N steps")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture an XLA/host profiler trace spanning this "
+                   "many first-epoch steps to <save_path>/profile")
     p.add_argument("--fix_model", default=None, help="stage-2 frozen teacher ckpt")
     p.add_argument("--vgg_weights", default=None)
     p.add_argument(
@@ -102,6 +105,7 @@ def main(argv=None) -> None:
         pretrained=args.pretrained,
         resume=args.resume,
         save_every_steps=args.save_every_steps,
+        profile_steps=args.profile_steps,
         vgg_weights=args.vgg_weights,
         allow_random_vgg=args.allow_random_vgg,
         compute_dtype=args.dtype,

@@ -53,6 +53,10 @@ class TrainConfig:
     resume: Optional[str] = None  # full-state resume (params + Adam moments
     #                                + step), preemption-safe
     save_every_steps: int = 0  # 0 = only per-epoch checkpoints
+    profile_steps: int = 0  # capture an XLA/host profiler trace spanning
+    #   this many steps of the first epoch (starting at step 1 — step 0 is
+    #   compile), written to <save_path>/profile for TensorBoard/Perfetto.
+    #   The reference's only tracing is wall-clock meters (SURVEY §5).
     vgg_weights: Optional[str] = None  # torchvision vgg19 state_dict path
     allow_random_vgg: bool = False  # explicit opt-in: train the a_p>0
     #   perceptual term against RANDOM-init VGG features (the reference

@@ -326,6 +326,31 @@ class Trainer:
         data_time = AverageMeter()
         batch_time = AverageMeter()
 
+        # Optional profiler capture (cfg.profile_steps > 0, first epoch):
+        # steps [1, 1+N) — step 0 is compile — traced to
+        # <save_path>/profile for TensorBoard/Perfetto.  Failure to start
+        # (e.g. a remote backend without profiler support) only warns.
+        prof_window = None
+        if cfg.profile_steps > 0 and epoch == cfg.start_epoch and save_path:
+            prof_window = (1, 1 + cfg.profile_steps)
+        prof_active = False
+
+        def _prof(i: int, done: bool = False) -> None:
+            nonlocal prof_active
+            if prof_window is None:
+                return
+            try:
+                if not prof_active and not done and i == prof_window[0]:
+                    jax.profiler.start_trace(os.path.join(save_path, "profile"))
+                    prof_active = True
+                elif prof_active and (done or i == prof_window[1]):
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    print(f"=> profiler trace in {save_path}/profile")
+            except Exception as e:  # profiling must never kill training
+                prof_active = False
+                print(f"=> profiler unavailable: {e}")
+
         end = time.time()
         it = prefetch_to_device(
             iter(self.train_loader), size=2, sharding=self.batch_sharding
@@ -333,6 +358,7 @@ class Trainer:
         for i, batch in enumerate(it):
             if i >= self.steps_per_epoch:
                 break
+            _prof(i)
             data_time.update(time.time() - end)
             model_batch = {"left": batch["left"], "right": batch["right"]}
             if not cfg.fix_order and "max_disp" in batch:
@@ -377,6 +403,7 @@ class Trainer:
                         "stage": self.stage,
                     },
                 )
+        _prof(self.steps_per_epoch, done=True)  # close a still-open trace
         return {"loss": losses.avg, "rec_loss": rec_losses.avg}
 
     # ------------------------------------------------------------------

@@ -167,3 +167,21 @@ def test_stage2_on_2d_spatial_mesh(tmp_path):
     assert tr2.med_mesh is mesh and tr2.med_spatial_axis == "spatial"
     res = tr2.fit(save_path=str(tmp_path / "student"))
     assert np.isfinite(res["history"][0]["loss"])
+
+
+def test_profiler_trace_capture(tmp_path):
+    """cfg.profile_steps captures an XLA/host profiler trace of the first
+    epoch's steps [1, 1+N) into <save_path>/profile (the reference's only
+    tracing is wall-clock meters, SURVEY §5)."""
+    import os
+
+    cfg = Stage1Config(**_tiny_cfg(epochs=1, epoch_size=3), profile_steps=1)
+    tr = Trainer(
+        cfg, stage="stage1", mesh=make_mesh(1),
+        train_dataset=SyntheticStereo(n=24),  # 3 batches of 8
+    )
+    tr.fit(save_path=str(tmp_path / "run"))
+    prof = tmp_path / "run" / "profile"
+    assert prof.is_dir()
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(prof) for f in fs]
+    assert files, "profiler trace directory is empty"
