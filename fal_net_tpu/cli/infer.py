@@ -75,10 +75,16 @@ def save_disp16(path: str, disp_hw: np.ndarray) -> None:
     (inverse of data/datasets.py::load_kitti_disp_png).  The format's
     inherent ceiling is 65535/256 = 255.996 px; real KITTI disparities
     stay well under it, but values above are clipped."""
-    from PIL import Image
+    from fal_net_tpu.native import io as native_io
 
     arr = np.clip(np.asarray(disp_hw, np.float64) * 256.0, 0, 65535)
-    Image.fromarray(arr.astype(np.uint16)).save(path)
+    u16 = arr.astype(np.uint16)
+    if native_io.available():
+        native_io.imwrite_png16(path, u16)
+        return
+    from PIL import Image
+
+    Image.fromarray(u16).save(path)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -28,6 +28,13 @@ from fal_net_tpu.data.transforms import Compose, normalize
 # --------------------------------------------------------------------------
 
 def _imread(path: str) -> np.ndarray:
+    """Decode one image file.  Prefers the native C++ core (GIL-free libpng/
+    libjpeg, bit-identical to PIL — see fal_net_tpu/native/io_native.cpp);
+    falls back to imageio/PIL when the library can't build."""
+    from fal_net_tpu.native import io as native_io
+
+    if native_io.available():
+        return native_io.imread(path)
     try:
         from imageio.v2 import imread  # type: ignore
 
@@ -57,20 +64,35 @@ def load_kitti_flow_png(path: str) -> np.ndarray:
     disparity loader) — this loader closes that gap.
 
     PIL/imageio silently downcast 16-bit RGB PNGs to uint8 (corrupting the
-    fixed-point encoding), so decoding goes through cv2's IMREAD_UNCHANGED.
+    fixed-point encoding); the native decoder preserves full bit depth
+    (cv2 IMREAD_UNCHANGED is the fallback when the native lib can't build).
     """
+    from fal_net_tpu.native import io as native_io
+
+    if native_io.available():
+        raw = native_io.imread(path)  # RGB channel order
+        if raw.ndim != 3 or raw.shape[-1] < 3 or raw.dtype != np.uint16:
+            raise ValueError(
+                f"not a KITTI flow PNG (need 3 uint16 channels): {path}"
+            )
+        rgb = raw.astype(np.float32)
+        u = (rgb[..., 0] - 2.0**15) / 64.0
+        v = (rgb[..., 1] - 2.0**15) / 64.0
+        valid = (rgb[..., 2] > 0).astype(np.float32)
+        return np.stack([u * valid, v * valid, valid], axis=-1)
+
     try:
         import cv2
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "KITTI flow PNGs are 16-bit RGB, which PIL/imageio downcast to "
-            "uint8; reading them requires opencv (cv2)"
+            "uint8; reading them requires the native IO lib or opencv (cv2)"
         ) from e
 
     raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if raw is None or raw.ndim != 3 or raw.shape[-1] < 3 or raw.dtype != np.uint16:
         raise ValueError(f"not a KITTI flow PNG (need 3 uint16 channels): {path}")
-    bgr = raw.astype(np.float32)
+    bgr = raw.astype(np.float32)  # cv2 loads BGR
     u = (bgr[..., 2] - 2.0**15) / 64.0
     v = (bgr[..., 1] - 2.0**15) / 64.0
     valid = (bgr[..., 0] > 0).astype(np.float32)
