@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
         "1, Test_KITTI.py:113)",
     )
     p.add_argument(
+        "--decode_workers", type=int, default=4,
+        help="background threads prefetch-decoding images ahead of the "
+        "device (in-order — metrics identical to 0 = inline decode)",
+    )
+    p.add_argument(
         "--quantize_transfer", action="store_true",
         help="fetch disparities as device-quantized uint16 (1/256 px — the "
         "KITTI GT PNG fixed point; half the device->host bytes, metrics "
@@ -139,6 +144,7 @@ def main(argv=None) -> None:
         min_disp=args.min_disp,
         rel_baseline=args.rel_baseline,
         batch_size=args.batch_size,
+        decode_workers=args.decode_workers,
         quantize_transfer=args.quantize_transfer,
         f_post_process=args.f_post_process,
         ms_post_process=not args.no_ms_post_process and not args.f_post_process,

@@ -31,6 +31,8 @@ TPU-first design vs the reference:
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures
 import dataclasses
 import functools
 import os
@@ -87,6 +89,10 @@ class EvalConfig:
     #   bytes on slow links.  1/256 px resolution (the SAME fixed point as
     #   KITTI's GT disparity PNGs), capped at 255.996 px; metrics shift at
     #   the ~1e-5 level, so it is NOT bit-identical to the fp32 fetch.
+    decode_workers: int = 4  # background threads prefetch-decoding
+    #   dataset.get(i) ahead of the device (window = 2 batches, results
+    #   consumed strictly in order so metrics/exports are identical to the
+    #   serial loop).  0 = decode inline on the main thread.
 
 
 class Evaluator:
@@ -252,8 +258,6 @@ class Evaluator:
 
     @functools.cached_property
     def _uploader(self):
-        import concurrent.futures
-
         # one thread: uploads stay ordered and the link is serial anyway
         return concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
@@ -372,6 +376,34 @@ class Evaluator:
                 meters["make"].update(compute_make_errors(gt_d[0], pred_d[0]))
 
     # ------------------------------------------------------------------
+    def _iter_decoded(self, dataset, n: int):
+        """Yield ``(i, dataset.get(i))`` strictly in order, with decode
+        running ``decode_workers`` samples ahead on background threads.
+
+        The reference decodes inside torch DataLoader workers
+        (Test_KITTI.py:113, num_workers from args); here decode (PIL or the
+        native C++ core) overlaps device compute + the per-image collect
+        work instead.  In-order consumption keeps every downstream effect
+        (bucket fill order, metric accumulation, artifact filenames)
+        byte-identical to the serial loop."""
+        workers = self.cfg.decode_workers
+        if workers <= 0 or n <= 1:
+            for i in range(n):
+                yield i, dataset.get(i)
+            return
+        window = max(workers, 2 * self.cfg.batch_size)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = collections.deque(
+                (i, ex.submit(dataset.get, i)) for i in range(min(window, n))
+            )
+            next_i = len(futs)
+            while futs:
+                i, fut = futs.popleft()
+                if next_i < n:
+                    futs.append((next_i, ex.submit(dataset.get, next_i)))
+                    next_i += 1
+                yield i, fut.result()
+
     def run(self, dataset, evaluate: bool = True) -> Dict[str, float]:
         cfg = self.cfg
         meters = {
@@ -413,8 +445,7 @@ class Evaluator:
                     )
             pending = self._dispatch(staged)
 
-        for i in range(n):
-            sample = dataset.get(i)
+        for i, sample in self._iter_decoded(dataset, n):
             left_np = np.asarray(sample["left"])  # float32, or raw uint8
             if cfg.crop_top_95:
                 left_np = left_np[: int(0.95 * left_np.shape[0])]

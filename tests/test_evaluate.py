@@ -102,6 +102,29 @@ def test_batched_eval_metric_identity(tmp_path):
         np.testing.assert_allclose(m2[k], m1[k], rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_decode_prefetch_metric_identity(tmp_path):
+    """Background prefetch-decode (decode_workers>0) consumes samples
+    strictly in dataset order, so metrics are IDENTICAL (==, not allclose)
+    to the inline-decode loop — same bucket fill order, same batch
+    composition, same accumulation order."""
+    model, variables = _make_model()
+
+    def run(workers):
+        cfg = EvalConfig(
+            dataset="Kitti2015",
+            ms_post_process=True,
+            batch_size=2,
+            decode_workers=workers,
+            save_path=str(tmp_path / f"w{workers}"),
+            print_freq=100,
+        )
+        return Evaluator(model, variables, cfg).run(MixedShapeEval())
+
+    m0, m4 = run(0), run(4)
+    for k in ("abs_rel", "sq_rel", "rms", "log_rms", "a1", "a2", "a3", "epe"):
+        assert m4[k] == m0[k], k
+
+
 def test_raw_uint8_upload_metric_identity(tmp_path):
     """Raw-uint8 upload + on-device normalization (the default cli.test
     path — 4x fewer host->device bytes) produces the same metrics as
