@@ -456,12 +456,24 @@ class Trainer:
             pan_np = np.asarray(out.pan)
             disp_np = np.asarray(out.disp)
             maskl_np = np.asarray(out.maskL)
+            maskr_np = np.asarray(out.maskR)
             for slot, (i, s) in enumerate(items):
                 right = jnp.asarray(s["right"])[None]
                 rmses.update(float(image_rmse(jnp.asarray(pan_np[slot])[None], right)))
                 if self.logger is not None and i < log_images:
+                    # Image set mirrors Train_Stage1_K.py:322-338: input left
+                    # (first epoch only), disparity, both sub-occ masks, pan.
+                    if epoch == 0:
+                        self.logger.image(
+                            0,
+                            f"val{i}/input_left",
+                            np.clip(
+                                lefts[slot] + np.asarray([0.411, 0.432, 0.45]), 0, 1
+                            ),
+                        )
                     self.logger.image(epoch, f"val{i}/disparity", disp2rgb(disp_np[slot]))
                     self.logger.image(epoch, f"val{i}/maskL", disp2rgb(maskl_np[slot], 1.0))
+                    self.logger.image(epoch, f"val{i}/maskR", disp2rgb(maskr_np[slot], 1.0))
                     self.logger.image(
                         epoch,
                         f"val{i}/pan",

@@ -112,3 +112,32 @@ def test_validate_with_images(tmp_path, rng):
     res = tr.fit(save_path=str(tmp_path / "v"))
     h = res["history"][0]
     assert np.isfinite(h["rmse"]) and np.isfinite(h["epe"]) and "abs_rel" in h
+
+    # Logged image set mirrors Train_Stage1_K.py:322-338: input left at
+    # epoch 0 only, then disparity / both sub-occ masks / pan each epoch.
+    class RecLogger:
+        def __init__(self):
+            self.tags = []
+
+        def image(self, step, tag, arr):
+            assert np.asarray(arr).ndim == 3
+            self.tags.append((int(step), tag))
+
+    rec = RecLogger()
+    tr.logger = rec
+    tr.validate(ValDS(), epoch=0)
+    assert {t for _, t in rec.tags} == {
+        "val0/input_left",
+        "val0/disparity",
+        "val0/maskL",
+        "val0/maskR",
+        "val0/pan",
+    }
+    rec.tags.clear()
+    tr.validate(ValDS(), epoch=1)
+    assert {t for _, t in rec.tags} == {
+        "val0/disparity",
+        "val0/maskL",
+        "val0/maskR",
+        "val0/pan",
+    }
