@@ -65,6 +65,16 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     args = build_parser().parse_args(argv)
+    if args.uint8_input and args.with_ms_pp:
+        # ms-pp needs float inputs for the 2/3-scale resample; Evaluator
+        # .from_artifact rejects post-processing on uint8-input artifacts,
+        # so the extra shapes could never be used — fail at export time
+        # rather than after the bundle ships
+        raise SystemExit(
+            "--with_ms_pp needs a float32-input artifact; drop --uint8_input "
+            "(ms-pp resamples the input, which a uint8 artifact hides "
+            "behind its baked normalization)"
+        )
     variables, name, levels = load_params_any(args.pretrained)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = create_model(args.model or name or "B", args.no_levels or levels,

@@ -99,6 +99,28 @@ def main(argv=None) -> None:
     artifact_fwd = model = variables = None
     mesh = None
     if args.artifact:
+        # These flags are baked into (or fixed by) the export; silently
+        # ignoring an explicit value would evaluate a different config than
+        # the user asked for (same contract as cli.infer, ADVICE r2).
+        # Post-processing / --quantize_transfer / --decode_workers still
+        # apply — they run outside the artifact's baked forward.
+        parser = build_parser()
+        ignored = [
+            name
+            for name in (
+                "model", "no_levels", "max_disp", "min_disp", "rel_baseline",
+                "dtype", "maskr_quirk", "batch_size", "fp32_upload",
+                "num_devices",
+            )
+            if getattr(args, name) != parser.get_default(name)
+        ]
+        if ignored:
+            raise SystemExit(
+                "--artifact mode evaluates the deployed forward exactly; "
+                "these checkpoint-mode flags have no effect here: "
+                + ", ".join("--" + n for n in ignored)
+                + ".  Re-export with cli.export to change them."
+            )
         from fal_net_tpu.serve import load_exported
 
         artifact_fwd = load_exported(args.artifact)

@@ -30,11 +30,16 @@ from fal_net_tpu.data.transforms import Compose, normalize
 def _imread(path: str) -> np.ndarray:
     """Decode one image file.  Prefers the native C++ core (GIL-free libpng/
     libjpeg, bit-identical to PIL — see fal_net_tpu/native/io_native.cpp);
-    falls back to imageio/PIL when the library can't build."""
+    falls back to imageio/PIL when the library can't build, and per image
+    when the native decoder rejects a file PIL can handle (e.g. CMYK/YCCK
+    JPEGs, where libjpeg has no RGB conversion)."""
     from fal_net_tpu.native import io as native_io
 
     if native_io.available():
-        return native_io.imread(path)
+        try:
+            return native_io.imread(path)
+        except (ValueError, RuntimeError):
+            pass  # fall through to the PIL/imageio decoders below
     try:
         from imageio.v2 import imread  # type: ignore
 

@@ -59,7 +59,7 @@ from fal_net_tpu.eval.metrics import (
     disps_to_depths_make,
 )
 from fal_net_tpu.eval.postprocess import flip_post_process, ms_post_process
-from fal_net_tpu.losses.epe import real_epe
+from fal_net_tpu.losses.epe import real_epe, real_epe_np
 from fal_net_tpu.utils.meters import AverageMeter, MultiAverageMeter
 from fal_net_tpu.utils.viz import local_normalization
 
@@ -167,7 +167,11 @@ class Evaluator:
                 "artifact (re-export without --uint8_input), or disable "
                 "post-processing"
             )
-        if cfg.save and cfg.save_pan and "pan" not in fwd.meta["outputs"]:
+        if cfg.save and cfg.save_pan and not {"pan", "maskL", "maskR"} <= set(
+            fwd.meta["outputs"]
+        ):
+            # _process_image exports pan AND both masks; a pan-only artifact
+            # would pass a 'pan' check and then crash on maskL=None mid-run
             raise ValueError(
                 f"save_pan needs an artifact exported with --pan --subocc; "
                 f"this one emits {fwd.meta['outputs']}"
@@ -359,12 +363,17 @@ class Evaluator:
                     compute_kitti_errors(gt_d[0], pred_d[0], use_median=cfg.use_median)
                 )
             elif cfg.dataset == "Kitti2015":
-                epe = real_epe(
-                    jnp.asarray(disp_np)[None, ..., None],
-                    jnp.asarray(target)[None, ..., None],
-                    sparse=True,
-                )
-                meters["epe"].update(float(epe))
+                if disp_np.shape == target.shape:
+                    epe = real_epe_np(disp_np, target)
+                else:  # size mismatch -> real_epe's bilinear upsample matters
+                    epe = float(
+                        real_epe(
+                            jnp.asarray(disp_np)[None, ..., None],
+                            jnp.asarray(target)[None, ..., None],
+                            sparse=True,
+                        )
+                    )
+                meters["epe"].update(epe)
                 gt_d, pred_d = disps_to_depths_kitti2015(
                     target[None], disp_np[None]
                 )

@@ -167,6 +167,17 @@ def image_mae(output, label, mean=_MEAN):
     return jnp.mean(jnp.abs(out - lab))
 
 
+def image_rmse_np(output, label) -> float:
+    """Host-side numpy twin of :func:`image_rmse` for per-image metric
+    accumulation over already-fetched arrays — a per-image jnp reduction
+    would re-upload the image and block on a device sync each frame
+    (~30 ms/call through a slow host link)."""
+    mean = np.asarray([0.411, 0.432, 0.45], output.dtype)
+    out = np.clip((output + mean) * 255.0, 0.0, 255.0)
+    lab = (label + mean) * 255.0
+    return float(np.sqrt(np.mean(np.square(out - lab))))
+
+
 def image_psnr(output, label, mean=_MEAN):
     out = jnp.round(_denorm255(output, mean))
     lab = (label + mean) * 255.0

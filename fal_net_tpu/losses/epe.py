@@ -42,6 +42,21 @@ def real_epe(pred: jax.Array, target: jax.Array, sparse: bool = False) -> jax.Ar
     return epe(up, target, sparse=sparse, mean=True)
 
 
+def real_epe_np(pred_hw, target_hw) -> float:
+    """Host-side numpy twin of :func:`real_epe` for SAME-SIZE single-channel
+    disparity maps (the eval/validation case: the forward runs at the native
+    image resolution, so real_epe's align_corners=True upsample is the
+    identity).  Computing this per image in jnp on already-fetched arrays
+    would re-upload both maps and block on a device sync each frame."""
+    import numpy as np
+
+    assert pred_hw.shape == target_hw.shape, (pred_hw.shape, target_hw.shape)
+    valid = (target_hw != 0).astype(pred_hw.dtype)
+    return float(
+        (np.abs(pred_hw - target_hw) * valid).sum() / max(valid.sum(), 1.0)
+    )
+
+
 def sparse_max_pool(x: jax.Array, size) -> jax.Array:
     """Adaptive max-pool that preserves signed sparse values
     (loss_functions.py:141-146): positives and negatives pooled separately

@@ -67,6 +67,7 @@ def export_forward(
         s2d_stem=model.s2d_stem,
         s2d_tail=model.s2d_tail,
         phase_deconv=model.phase_deconv,
+        a_maskr_quirk=model.a_maskr_quirk,
     )
 
     def fwd(left):

@@ -34,9 +34,9 @@ from fal_net_tpu.eval.metrics import (
     KITTI_ERROR_NAMES,
     compute_kitti_errors,
     disps_to_depths_kitti2015,
-    image_rmse,
+    image_rmse_np,
 )
-from fal_net_tpu.losses.epe import real_epe
+from fal_net_tpu.losses.epe import real_epe, real_epe_np
 from fal_net_tpu.losses.vgg import init_vgg19, load_torch_vgg19
 from fal_net_tpu.models import create_model
 from fal_net_tpu.parallel.mesh import batch_sharding, replicate_sharding
@@ -458,8 +458,9 @@ class Trainer:
             maskl_np = np.asarray(out.maskL)
             maskr_np = np.asarray(out.maskR)
             for slot, (i, s) in enumerate(items):
-                right = jnp.asarray(s["right"])[None]
-                rmses.update(float(image_rmse(jnp.asarray(pan_np[slot])[None], right)))
+                # per-image metrics run host-side in numpy: a jnp reduction
+                # here would re-upload each frame and block on a device sync
+                rmses.update(image_rmse_np(pan_np[slot], np.asarray(s["right"])))
                 if self.logger is not None and i < log_images:
                     # Image set mirrors Train_Stage1_K.py:322-338: input left
                     # (first epoch only), disparity, both sub-occ masks, pan.
@@ -480,12 +481,21 @@ class Trainer:
                         np.clip(pan_np[slot] + np.asarray([0.411, 0.432, 0.45]), 0, 1),
                     )
                 if "targets" in s:
-                    target = jnp.asarray(s["targets"][0])[None]
-                    epes.update(
-                        float(real_epe(jnp.asarray(disp_np[slot])[None], target, sparse=True))
-                    )
+                    target = np.asarray(s["targets"][0])
+                    if disp_np[slot].shape == target.shape:
+                        epes.update(real_epe_np(disp_np[slot], target))
+                    else:  # size mismatch -> the bilinear upsample matters
+                        epes.update(
+                            float(
+                                real_epe(
+                                    jnp.asarray(disp_np[slot])[None],
+                                    jnp.asarray(target)[None],
+                                    sparse=True,
+                                )
+                            )
+                        )
                     gt_d, pred_d = disps_to_depths_kitti2015(
-                        np.asarray(target)[..., 0], disp_np[slot][None, ..., 0]
+                        target[None, ..., 0], disp_np[slot][None, ..., 0]
                     )
                     kitti_errors.update(compute_kitti_errors(gt_d[0], pred_d[0]))
 

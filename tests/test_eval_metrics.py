@@ -109,3 +109,30 @@ def test_ms_post_process_reference_semantics(rng):
     norm[norm > 1] = 1
     want = ((1 - norm) * disp_t + norm * dwn).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_image_rmse_np_matches_jnp(rng):
+    """Host-side numpy twin == the jnp image_rmse (eval/metrics.py)."""
+    import jax.numpy as jnp
+
+    from fal_net_tpu.eval.metrics import image_rmse, image_rmse_np
+
+    out = rng.standard_normal((8, 12, 3)).astype(np.float32) * 0.3
+    lab = rng.standard_normal((8, 12, 3)).astype(np.float32) * 0.3
+    want = float(image_rmse(jnp.asarray(out)[None], jnp.asarray(lab)[None]))
+    np.testing.assert_allclose(image_rmse_np(out, lab), want, rtol=1e-5)
+
+
+def test_real_epe_np_matches_jnp(rng):
+    """Same-size sparse EPE: numpy twin == real_epe (losses/epe.py)."""
+    import jax.numpy as jnp
+
+    from fal_net_tpu.losses.epe import real_epe, real_epe_np
+
+    pred = (rng.random((9, 14, 1)) * 20).astype(np.float32)
+    target = (rng.random((9, 14, 1)) * 20).astype(np.float32)
+    target[target < 8] = 0  # sparse GT
+    want = float(
+        real_epe(jnp.asarray(pred)[None], jnp.asarray(target)[None], sparse=True)
+    )
+    np.testing.assert_allclose(real_epe_np(pred, target), want, rtol=1e-5)

@@ -251,3 +251,17 @@ def test_stale_source_triggers_rebuild_logic():
 
     assert os.path.exists(build.lib_path())
     assert not build.is_stale()
+
+
+def test_imread_falls_back_per_image_on_native_reject(tmp_path):
+    """Files the native decoder rejects (e.g. CMYK JPEGs — libjpeg has no
+    RGB conversion for them) must fall through to the PIL/imageio decoders
+    per image instead of crashing the run (datasets.py::_imread)."""
+    from PIL import Image
+
+    from fal_net_tpu.data.datasets import _imread
+
+    p = tmp_path / "cmyk.jpg"
+    Image.new("CMYK", (20, 10), (10, 20, 30, 40)).save(p, "JPEG")
+    arr = _imread(str(p))
+    assert arr.ndim == 3 and arr.shape[:2] == (10, 20)

@@ -314,3 +314,82 @@ def test_infer_cli_uint8_artifact(tmp_path, tiny):
     import os
 
     assert os.path.isfile(os.path.join(out, "a_disp.png"))
+
+
+def test_export_preserves_maskr_quirk(tmp_path):
+    """export_forward's portable clone must carry a_maskr_quirk: a
+    quirk-enabled model's artifact maskR matches the live quirk model (and
+    differs from the non-quirk model) — models/falnet.py:70."""
+    model_q = create_model("tiny", 5, a_maskr_quirk=True)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 16, 32, 3)), jnp.float32
+    )
+    variables = model_q.init(jax.random.PRNGKey(0), x, 2.0, 30.0, ret_disp=True)
+    blob = export_forward(
+        model_q, variables, batch=1, height=16, width=32,
+        min_disp=2.0, max_disp=30.0, ret_pan=True, ret_subocc=True,
+        platforms=("cpu",),
+    )
+    path = str(tmp_path / "tiny_quirk.jaxexp")
+    save_exported(path, blob)
+    fwd = load_exported(path)
+    _, _, _, maskR = fwd(x)
+    ref_q = model_q.apply(
+        variables, x, 2.0, 30.0, ret_disp=True, ret_pan=True, ret_subocc=True
+    ).maskR
+    np.testing.assert_allclose(
+        np.asarray(maskR), np.asarray(ref_q), rtol=1e-5, atol=1e-5
+    )
+    model_plain = create_model("tiny", 5)
+    ref_plain = model_plain.apply(
+        variables, x, 2.0, 30.0, ret_disp=True, ret_pan=True, ret_subocc=True
+    ).maskR
+    assert np.abs(np.asarray(ref_q) - np.asarray(ref_plain)).max() > 1e-4
+
+
+def test_from_artifact_save_pan_needs_masks(tmp_path, tiny):
+    """A pan-without-subocc artifact must be rejected up front for
+    --save_pan (the per-image exporter writes maskL/maskR too)."""
+    from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
+
+    model, variables, x = tiny
+    blob = export_forward(
+        model, variables, batch=1, height=16, width=32,
+        min_disp=2.0, max_disp=30.0, ret_pan=True, ret_subocc=False,
+        platforms=("cpu",),
+    )
+    path = str(tmp_path / "tiny_panonly.jaxexp")
+    save_exported(path, blob)
+    cfg = EvalConfig(
+        dataset="Kitti2015", save=True, save_pan=True,
+        ms_post_process=False, save_path=str(tmp_path / "out"),
+    )
+    with pytest.raises(ValueError, match="pan --subocc"):
+        Evaluator.from_artifact(load_exported(path), cfg)
+
+
+def test_export_cli_rejects_uint8_with_ms_pp(tmp_path):
+    """--uint8_input + --with_ms_pp can never be evaluated (from_artifact
+    rejects post-processing on uint8 artifacts) — fail at export time."""
+    from fal_net_tpu.cli.export import main as export_main
+
+    with pytest.raises(SystemExit, match="float32-input"):
+        export_main([
+            "--pretrained", "nope.msgpack", "--model", "tiny",
+            "--uint8_input", "--with_ms_pp",
+            "--out", str(tmp_path / "x.jaxexp"),
+        ])
+
+
+def test_eval_cli_artifact_rejects_checkpoint_flags(tmp_path):
+    """cli.test --artifact + a baked-in checkpoint-mode flag is a silent
+    misconfiguration — must exit with the flag named (same contract as
+    cli.infer)."""
+    from fal_net_tpu.cli.test import main as test_main
+
+    with pytest.raises(SystemExit, match="batch_size"):
+        test_main([
+            "--artifact", str(tmp_path / "missing.jaxexp"),
+            "--data_root", str(tmp_path),
+            "--batch_size", "4",
+        ])
