@@ -5,10 +5,14 @@ conventions and target-loading protocols (see each class's citations), as
 plain-python samplers yielding numpy dicts.  No torch DataLoader: batching,
 shuffling and device prefetch live in :mod:`fal_net_tpu.data.loader`.
 
-Split-list files: the reference ships ``kitti_eigen_train.txt`` (22,599
-pairs) / ``kitti_eigen_test_{improved,original}.txt`` (696 lines each)
-inside its repo (Datasets/).  Pass their location via ``lists_dir`` or the
-``FAL_NET_LISTS_DIR`` env var; files are plain "left.png right.png" lines.
+Split-list files: the reference ships ``kitti_eigen_train.txt`` (22,600
+pairs) / ``kitti_eigen_test_{improved,original}.txt`` (697 lines each)
+inside its repo (Datasets/).  The same three Eigen splits are BUNDLED
+here (:mod:`fal_net_tpu.data.lists`, compact binary form, byte-parity
+tested) and used when no directory is given; pass ``lists_dir`` or set
+the ``FAL_NET_LISTS_DIR`` env var to override with external files
+(plain "left.png right.png" lines — required for non-bundled lists such
+as ``kitti_train_files.txt``).
 """
 
 from __future__ import annotations
@@ -129,14 +133,23 @@ def split2list(items: List, split) -> Tuple[List, List]:
     return train, test
 
 
-def _lists_dir(lists_dir: Optional[str]) -> str:
+def _list_lines(lists_dir: Optional[str], fname: str) -> List[str]:
+    """Lines of split list ``fname``: from ``lists_dir`` / the
+    ``FAL_NET_LISTS_DIR`` env var when given, else from the bundled Eigen
+    splits (:mod:`fal_net_tpu.data.lists`)."""
     d = lists_dir or os.environ.get("FAL_NET_LISTS_DIR", "")
-    if not d:
+    if d:
+        with open(os.path.join(d, fname)) as f:
+            return [ln for ln in f.read().splitlines() if ln.strip()]
+    from fal_net_tpu.data.lists import bundled_list_lines
+
+    try:
+        return bundled_list_lines(fname)
+    except KeyError:
         raise ValueError(
-            "split-list directory not given: pass lists_dir= or set "
-            "FAL_NET_LISTS_DIR to the directory holding kitti_eigen_*.txt"
-        )
-    return d
+            f"split list {fname!r} is not bundled: pass lists_dir= or set "
+            "FAL_NET_LISTS_DIR to the directory holding it"
+        ) from None
 
 
 # --------------------------------------------------------------------------
@@ -239,10 +252,10 @@ class StereoEvalDataset:
 # Factories (reference-name compatible via the registry at the bottom)
 # --------------------------------------------------------------------------
 
-def _read_pair_list(path: str, root: str, check_exists: bool = True) -> List[Tuple[str, str]]:
-    with open(path) as f:
-        lines = [ln.split(" ") for ln in f.read().splitlines() if ln.strip()]
-    pairs = [(a, b) for a, b, *_ in lines]
+def _pairs_from_lines(
+    lines: List[str], root: str, check_exists: bool = True
+) -> List[Tuple[str, str]]:
+    pairs = [(a, b) for a, b, *_ in (ln.split(" ") for ln in lines)]
     if check_exists:
         pairs = [p for p in pairs if os.path.isfile(os.path.join(root, p[0]))]
     return pairs
@@ -262,7 +275,7 @@ def kitti_train(
         "eigen_train_split": "kitti_eigen_train.txt",
         "kitti_train_split": "kitti_train_files.txt",
     }[train_split]
-    pairs = _read_pair_list(os.path.join(_lists_dir(lists_dir), fname), root)
+    pairs = _pairs_from_lines(_list_lines(lists_dir, fname), root)
     train, test = split2list(pairs, split)
     mk = lambda lst: StereoTrainDataset(root, lst, co_transform, max_pix, fix)
     return mk(train), StereoTrainDataset(root, test, None, max_pix, fix)
@@ -343,9 +356,9 @@ def kitti2015(
 def kitti_eigen_test_improved(root: str, split=1, lists_dir: Optional[str] = None):
     """Improved Eigen split: GT + raw-velodyne depth PNGs derived from the
     image path (Kitti_eigen_test_improved.py:26-58)."""
-    path = os.path.join(_lists_dir(lists_dir), "kitti_eigen_test_improved.txt")
+    lines = _list_lines(lists_dir, "kitti_eigen_test_improved.txt")
     items = []
-    for lp, rp in _read_pair_list(path, root, check_exists=False):
+    for lp, rp in _pairs_from_lines(lines, root, check_exists=False):
         drive = lp[:-29]
         frame = lp[-14:]
         gt = os.path.join(drive, "proj_depth", "groundtruth", "image_02", frame)
@@ -360,9 +373,9 @@ def kitti_eigen_test_improved(root: str, split=1, lists_dir: Optional[str] = Non
 def kitti_eigen_test_original(root: str, split=1, lists_dir: Optional[str] = None):
     """Original Eigen split: GT = .npy depths alongside the images
     (Kitti_eigen_test_original.py:25-49)."""
-    path = os.path.join(_lists_dir(lists_dir), "kitti_eigen_test_original.txt")
+    lines = _list_lines(lists_dir, "kitti_eigen_test_original.txt")
     items = []
-    for lp, rp in _read_pair_list(path, root, check_exists=False):
+    for lp, rp in _pairs_from_lines(lines, root, check_exists=False):
         gt = lp[:-3] + "npy"
         if os.path.isfile(os.path.join(root, gt)) and os.path.isfile(os.path.join(root, lp)):
             items.append(((lp, rp), [gt]))

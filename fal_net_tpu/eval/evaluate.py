@@ -93,6 +93,11 @@ class EvalConfig:
     #   dataset.get(i) ahead of the device (window = 2 batches, results
     #   consumed strictly in order so metrics/exports are identical to the
     #   serial loop).  0 = decode inline on the main thread.
+    relay_retries: int = 2  # transient-dispatch fault tolerance: when the
+    #   async forward surfaces a retryable runtime error at fetch time
+    #   (utils/faults.py), re-dispatch the batch from its still-resident
+    #   device input up to this many times.  Nothing is donated on the
+    #   eval path, so the retry is always safe.  0 disables.
 
 
 class Evaluator:
@@ -274,27 +279,47 @@ class Evaluator:
         items, fut, start = staged
         cfg = self.cfg
         want_artifacts = cfg.save and cfg.save_pan
+        left_dev = fut.result()
         out, disp = self._jit_eval_step(
             self.variables,
-            fut.result(),
+            left_dev,
             pan=want_artifacts,
             subocc=want_artifacts,
         )
-        return items, out, disp, start
+        return items, out, disp, left_dev, start
 
     def _collect(self, pending, meters, out_dirs) -> None:
         """Fetch a dispatched batch to host and run per-image export/metrics."""
+        from fal_net_tpu.utils.faults import is_transient
+
         cfg = self.cfg
-        items, out, disp, start = pending
-        # np.asarray forces the device->host transfer; on the axon backend
-        # block_until_ready alone does not actually block.
-        disp_np = np.asarray(disp)[..., 0]
+        items, out, disp, left_dev, start = pending
+        want_artifacts = cfg.save and cfg.save_pan
+        retries = max(0, int(getattr(cfg, "relay_retries", 0)))
+        for attempt in range(retries + 1):
+            try:
+                # np.asarray forces the device->host transfer; on the axon
+                # backend block_until_ready alone does not actually block.
+                disp_np = np.asarray(disp)[..., 0]
+                pan_np = np.asarray(out.pan) if want_artifacts and out.pan is not None else None
+                maskl_np = np.asarray(out.maskL) if want_artifacts and out.maskL is not None else None
+                maskr_np = np.asarray(out.maskR) if want_artifacts and out.maskR is not None else None
+                break
+            except Exception as e:  # noqa: BLE001 - classified below
+                if not is_transient(e) or attempt == retries:
+                    raise
+                # the async forward failed in flight: re-dispatch from the
+                # still-resident device input (nothing is donated here)
+                print(
+                    f"=> transient eval dispatch failure, re-running batch "
+                    f"(attempt {attempt + 1}/{retries + 1}): {e!r}"
+                )
+                time.sleep(2.0 * (attempt + 1))
+                out, disp = self._jit_eval_step(
+                    self.variables, left_dev, pan=want_artifacts, subocc=want_artifacts
+                )
         if disp_np.dtype == np.uint16:  # quantize_transfer fixed-point
             disp_np = disp_np.astype(np.float32) / 256.0
-        want_artifacts = cfg.save and cfg.save_pan
-        pan_np = np.asarray(out.pan) if want_artifacts and out.pan is not None else None
-        maskl_np = np.asarray(out.maskL) if want_artifacts and out.maskL is not None else None
-        maskr_np = np.asarray(out.maskR) if want_artifacts and out.maskR is not None else None
         meters["batch_time"].update(
             (time.time() - start) / len(items), n=len(items)
         )

@@ -57,6 +57,14 @@ class TrainConfig:
     #   this many steps of the first epoch (starting at step 1 — step 0 is
     #   compile), written to <save_path>/profile for TensorBoard/Perfetto.
     #   The reference's only tracing is wall-clock meters (SURVEY §5).
+    relay_retries: int = 2  # transient-dispatch fault tolerance: retry a
+    #   train-step/metric dispatch that fails with a retryable runtime
+    #   error (FAILED_PRECONDITION/UNAVAILABLE/... — utils/faults.py) up
+    #   to this many times, restoring the last host-side state snapshot
+    #   when the failed step already consumed its donated buffers.  The
+    #   snapshot refreshes at each epoch start and save_every_steps save.
+    #   0 disables (fail on first error, like the reference — SURVEY §5
+    #   lists no failure detection there).
     vgg_weights: Optional[str] = None  # torchvision vgg19 state_dict path
     allow_random_vgg: bool = False  # explicit opt-in: train the a_p>0
     #   perceptual term against RANDOM-init VGG features (the reference

@@ -44,6 +44,7 @@ from fal_net_tpu.train.checkpoint import load_checkpoint, load_params_any, save_
 from fal_net_tpu.train.config import Stage2Config, TrainConfig
 from fal_net_tpu.train.stages import stage1_loss, stage1_slow_loss, stage2_loss
 from fal_net_tpu.train.state import TrainState, create_train_state
+from fal_net_tpu.utils.faults import is_transient, retry_transient, tree_alive
 from fal_net_tpu.utils.logging import MetricsLogger, dump_settings
 from fal_net_tpu.utils.meters import AverageMeter, MultiAverageMeter
 
@@ -196,6 +197,10 @@ class Trainer:
         if self.teacher_params is not None:
             self.teacher_params = jax.device_put(self.teacher_params, rep)
         self.batch_sharding = batch_sharding(self.mesh)
+        # Host-side state snapshot for transient-dispatch recovery
+        # (cfg.relay_retries, utils/faults.py); refreshed per epoch and at
+        # save_every_steps saves.
+        self._host_state = None
 
         self.train_step = self._build_train_step()
         self._setup_done = True
@@ -283,10 +288,19 @@ class Trainer:
         if not self._setup_done:
             self.setup()
         cfg = self.cfg
+        # Run-dir layout matches Train_Stage1_K.py:92-103:
+        # <save_path>/<dataset>_<stage>/<MM-DD-HH_MM>/<model>,e{E}es{S},b{B},lr{LR}
+        # (epoch_size appended after "es" only when positive, like the
+        # reference; the timestamp level keeps re-runs from clobbering).
+        import datetime
+
         save_path = save_path or os.path.join(
             cfg.save_path,
             f"{cfg.dataset}_{self.stage}",
-            f"{cfg.model},e{cfg.epochs}es,b{cfg.batch_size},lr{cfg.lr}",
+            datetime.datetime.now().strftime("%m-%d-%H_%M"),
+            f"{cfg.model},e{cfg.epochs}es"
+            f"{cfg.epoch_size if cfg.epoch_size > 0 else ''},"
+            f"b{cfg.batch_size},lr{cfg.lr}",
         )
         dump_settings(save_path, cfg)
         self.logger = MetricsLogger(save_path)
@@ -351,6 +365,43 @@ class Trainer:
                 prof_active = False
                 print(f"=> profiler unavailable: {e}")
 
+        # Transient-dispatch fault tolerance (cfg.relay_retries): the train
+        # step donates the optimizer state, so recovery needs a host-side
+        # snapshot to restore when a failed dispatch already consumed the
+        # donated buffers.  The reference has no failure handling at all
+        # (SURVEY §5 — manual --pretrained/--start_epoch relaunch).
+        retries = max(0, int(getattr(cfg, "relay_retries", 0)))
+        if retries:
+            self._host_state = jax.device_get(self.state)
+
+        def _step_with_recovery(model_batch):
+            for attempt in range(retries + 1):
+                try:
+                    return self.train_step(
+                        self.state, model_batch, self.vgg_params, self.teacher_params
+                    )
+                except Exception as e:  # noqa: BLE001 - classified below
+                    if not is_transient(e) or attempt == retries:
+                        raise
+                    if not tree_alive(self.state):
+                        # the failed step consumed its donated input: roll
+                        # back to the last snapshot (step counter included)
+                        self.state = jax.device_put(
+                            self._host_state, replicate_sharding(self.mesh)
+                        )
+                        print(
+                            "=> transient dispatch failure consumed the "
+                            f"donated train state; rolled back to step "
+                            f"{int(self.state.step)} and retrying: {e!r}"
+                        )
+                    else:
+                        print(
+                            "=> transient dispatch failure (state intact), "
+                            f"retrying step: {e!r}"
+                        )
+                    time.sleep(2.0 * (attempt + 1))
+            raise AssertionError("unreachable")
+
         end = time.time()
         it = prefetch_to_device(
             iter(self.train_loader), size=2, sharding=self.batch_sharding
@@ -368,11 +419,15 @@ class Trainer:
                 # the constant +max_disp, and keeping it a python float
                 # preserves the fused Pallas MED head.
                 model_batch["max_disp"] = batch["max_disp"]
-            self.state, aux = self.train_step(
-                self.state, model_batch, self.vgg_params, self.teacher_params
+            self.state, aux = _step_with_recovery(model_batch)
+            # metric fetch crosses device->host: retryable, nothing donated
+            loss_v, rec_v = retry_transient(
+                lambda: (float(aux["loss"]), float(aux["rec_loss"])),
+                retries=retries,
+                describe="train metric fetch",
             )
-            losses.update(float(aux["loss"]), cfg.batch_size)
-            rec_losses.update(float(aux["rec_loss"]), cfg.batch_size)
+            losses.update(loss_v, cfg.batch_size)
+            rec_losses.update(rec_v, cfg.batch_size)
             batch_time.update(time.time() - end)
             end = time.time()
             if i % cfg.print_freq == 0:
@@ -392,9 +447,12 @@ class Trainer:
                 and save_path
                 and (i + 1) % cfg.save_every_steps == 0
             ):
+                host_state = jax.device_get(self.state)
+                if retries:
+                    self._host_state = host_state  # advance the recovery point
                 save_checkpoint(
                     save_path,
-                    jax.device_get(self.state),
+                    host_state,
                     meta={
                         "epoch": epoch - 1,  # resume re-runs this epoch
                         "step": int(self.state.step),

@@ -1,0 +1,195 @@
+"""Transient-dispatch fault tolerance (fal_net_tpu/utils/faults.py).
+
+The reference has no failure handling (SURVEY §5: manual
+--pretrained/--start_epoch relaunch).  This framework retries retryable
+runtime errors: plain retry for non-donating dispatches (evaluation,
+metric fetches), snapshot rollback for the donating train step.  These
+tests inject failures at the dispatch seams and assert training /
+evaluation complete with correct results.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from fal_net_tpu.utils.faults import is_transient, retry_transient, tree_alive
+
+
+class _Transient(RuntimeError):
+    pass
+
+
+def _t(msg="FAILED_PRECONDITION: relay dropped the call"):
+    return _Transient(msg)
+
+
+# ---------------------------------------------------------------------------
+# Classification + retry primitive
+# ---------------------------------------------------------------------------
+
+def test_is_transient_classification():
+    assert is_transient(_t())
+    assert is_transient(RuntimeError("UNAVAILABLE: Socket closed"))
+    assert is_transient(RuntimeError("DEADLINE_EXCEEDED while awaiting reply"))
+    assert not is_transient(ValueError("shape mismatch (8, 64) vs (8, 65)"))
+    assert not is_transient(KeyboardInterrupt())
+
+
+def test_retry_transient_recovers_and_bounds():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise _t()
+        return "ok"
+
+    assert retry_transient(flaky, retries=2, backoff_s=0.0) == "ok"
+    assert calls["n"] == 3
+
+    def always():
+        raise _t()
+
+    with pytest.raises(_Transient):
+        retry_transient(always, retries=1, backoff_s=0.0)
+
+    def hard():
+        raise ValueError("not retryable")
+
+    calls["n"] = 0
+
+    def counting_hard():
+        calls["n"] += 1
+        raise ValueError("not retryable")
+
+    with pytest.raises(ValueError):
+        retry_transient(counting_hard, retries=5, backoff_s=0.0)
+    assert calls["n"] == 1  # non-transient: no retry
+
+
+def test_tree_alive_detects_deleted_buffers():
+    tree = {"a": jax.numpy.ones((4,)), "b": [jax.numpy.zeros((2, 2))]}
+    assert tree_alive(tree)
+    tree["b"][0].delete()
+    assert not tree_alive(tree)
+
+
+# ---------------------------------------------------------------------------
+# Trainer: retry-in-place and snapshot rollback
+# ---------------------------------------------------------------------------
+
+def _tiny_trainer(tmp_path, **cfg_kw):
+    from fal_net_tpu.parallel.mesh import make_mesh
+    from fal_net_tpu.train import Stage1Config, Trainer
+    from tests.test_train import SyntheticStereo, _tiny_cfg
+
+    cfg = Stage1Config(**_tiny_cfg(epochs=1, epoch_size=3, **cfg_kw))
+    tr = Trainer(cfg, stage="stage1", mesh=make_mesh(1),
+                 train_dataset=SyntheticStereo(n=24))
+    tr.setup()
+    return tr
+
+
+def test_train_step_retry_in_place(tmp_path):
+    """A transient failure that leaves the donated state intact is retried
+    with the same batch; training completes."""
+    tr = _tiny_trainer(tmp_path)
+    real_step = tr.train_step
+    calls = {"n": 0, "failed": 0}
+
+    def flaky_step(state, batch, vgg, teacher):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            calls["failed"] += 1
+            raise _t()  # state untouched -> retry-in-place path
+        return real_step(state, batch, vgg, teacher)
+
+    tr.train_step = flaky_step
+    res = tr.fit(save_path=str(tmp_path / "run"))
+    assert calls["failed"] == 1
+    assert np.isfinite(res["history"][-1]["loss"])
+    # all 3 steps applied exactly once despite the retry
+    assert int(tr.state.step) == 3
+
+
+def test_train_step_rollback_after_donation_loss(tmp_path):
+    """A transient failure that consumed the donated state triggers a
+    rollback to the host snapshot, then training continues."""
+    tr = _tiny_trainer(tmp_path)
+    real_step = tr.train_step
+    calls = {"n": 0}
+
+    def flaky_step(state, batch, vgg, teacher):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            for leaf in jax.tree.leaves(state):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()  # simulate a dispatch that ate its donation
+            raise _t()
+        return real_step(state, batch, vgg, teacher)
+
+    tr.train_step = flaky_step
+    res = tr.fit(save_path=str(tmp_path / "run"))
+    assert np.isfinite(res["history"][-1]["loss"])
+    # batch 0 applied (step 1), batch 1's failure consumed the state and
+    # rolled back to the epoch-start snapshot (step 0) — losing step 1 —
+    # then batch 1's retry and batch 2 applied: final counter = 2.
+    assert calls["n"] == 4  # 3 batches + 1 retry
+    assert int(tr.state.step) == 2
+
+
+def test_relay_retries_zero_fails_fast(tmp_path):
+    tr = _tiny_trainer(tmp_path, relay_retries=0)
+
+    def dead_step(state, batch, vgg, teacher):
+        raise _t()
+
+    tr.train_step = dead_step
+    with pytest.raises(_Transient):
+        tr.fit(save_path=str(tmp_path / "run"))
+
+
+# ---------------------------------------------------------------------------
+# Evaluator: re-dispatch from the resident device input
+# ---------------------------------------------------------------------------
+
+def test_evaluator_redispatch_on_transient_fetch(tmp_path):
+    from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
+    from tests.test_evaluate import SyntheticEval, _make_model
+
+    model, variables = _make_model()
+
+    def run(inject: bool):
+        cfg = EvalConfig(
+            dataset="Kitti2015",
+            ms_post_process=True,
+            save_path=str(tmp_path / ("flaky" if inject else "clean")),
+            print_freq=1,
+            batch_size=2,
+        )
+        ev = Evaluator(model, variables, cfg)
+        if inject:
+            real_step = ev._jit_eval_step
+            state = {"n": 0}
+
+            class FlakyFetch:
+                def __init__(self, arr):
+                    self._arr = arr
+
+                def __array__(self, dtype=None, copy=None):
+                    raise _t("UNAVAILABLE: Socket closed mid-transfer")
+
+            def flaky(variables, left, pan=False, subocc=False):
+                out, disp = real_step(variables, left, pan=pan, subocc=subocc)
+                state["n"] += 1
+                if state["n"] == 1:
+                    return out, FlakyFetch(disp)
+                return out, disp
+
+            ev.__dict__["_jit_eval_step"] = flaky
+        return ev.run(SyntheticEval(n=3))
+
+    clean = run(False)
+    flaky = run(True)
+    for k in ("abs_rel", "rms", "a1"):
+        np.testing.assert_allclose(flaky[k], clean[k], rtol=1e-6)

@@ -185,3 +185,26 @@ def test_profiler_trace_capture(tmp_path):
     assert prof.is_dir()
     files = [os.path.join(dp, f) for dp, _, fs in os.walk(prof) for f in fs]
     assert files, "profiler trace directory is empty"
+
+
+def test_default_run_dir_matches_reference_layout(tmp_path):
+    """fit() with no save_path lays runs out exactly like the reference
+    (Train_Stage1_K.py:92-103):
+    <save_path>/<dataset>_<stage>/<MM-DD-HH_MM>/<model>,e{E}es{S},b{B},lr{LR}
+    with the epoch_size digits after "es" only when epoch_size > 0."""
+    import re
+
+    cfg = Stage1Config(
+        **_tiny_cfg(epochs=1, epoch_size=2),
+        save_path=str(tmp_path / "runs"),
+    )
+    tr = Trainer(cfg, stage="stage1", mesh=make_mesh(1),
+                 train_dataset=SyntheticStereo(n=8))
+    tr.fit()
+
+    root = tmp_path / "runs" / "Kitti_stage1"
+    stamps = sorted(p.name for p in root.iterdir())
+    assert len(stamps) == 1
+    assert re.fullmatch(r"\d{2}-\d{2}-\d{2}_\d{2}", stamps[0]), stamps[0]
+    leaf = root / stamps[0] / f"tiny,e1es2,b8,lr{cfg.lr}"
+    assert (leaf / "settings.txt").is_file()
