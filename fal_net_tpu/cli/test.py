@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
         "1, Test_KITTI.py:113)",
     )
     p.add_argument(
+        "--relay_retries", type=int, default=2,
+        help="re-dispatch an eval batch whose async forward failed with a "
+        "transient runtime error, up to this many times (0 = fail fast)",
+    )
+    p.add_argument(
         "--decode_workers", type=int, default=4,
         help="background threads prefetch-decoding images ahead of the "
         "device (in-order — metrics identical to 0 = inline decode)",
@@ -168,6 +173,7 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         decode_workers=args.decode_workers,
         quantize_transfer=args.quantize_transfer,
+        relay_retries=args.relay_retries,
         f_post_process=args.f_post_process,
         ms_post_process=not args.no_ms_post_process and not args.f_post_process,
         use_median=args.median,

@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=0,
                    help="capture an XLA/host profiler trace spanning this "
                    "many first-epoch steps to <save_path>/profile")
+    p.add_argument("--relay_retries", type=int, default=2,
+                   help="retry transient runtime/dispatch failures this many "
+                   "times, rolling back to the last host snapshot if a "
+                   "failed step consumed its donated state (0 = fail fast)")
     p.add_argument("--fix_model", default=None, help="stage-2 frozen teacher ckpt")
     p.add_argument("--vgg_weights", default=None)
     p.add_argument(
@@ -106,6 +110,7 @@ def main(argv=None) -> None:
         resume=args.resume,
         save_every_steps=args.save_every_steps,
         profile_steps=args.profile_steps,
+        relay_retries=args.relay_retries,
         vgg_weights=args.vgg_weights,
         allow_random_vgg=args.allow_random_vgg,
         compute_dtype=args.dtype,
