@@ -510,11 +510,23 @@ class Trainer:
             pad = bs - len(items)
             if pad:
                 lefts = np.concatenate([lefts, np.zeros_like(lefts[:1]).repeat(pad, 0)])
-            out = self._val_forward(self.state.params, jnp.asarray(lefts))
-            pan_np = np.asarray(out.pan)
-            disp_np = np.asarray(out.disp)
-            maskl_np = np.asarray(out.maskL)
-            maskr_np = np.asarray(out.maskR)
+            def _fwd_and_fetch():
+                # forward + device->host fetch as one retryable unit:
+                # nothing is donated here, so a transient dispatch failure
+                # just re-runs the batch (utils/faults.py)
+                out = self._val_forward(self.state.params, jnp.asarray(lefts))
+                return (
+                    np.asarray(out.pan),
+                    np.asarray(out.disp),
+                    np.asarray(out.maskL),
+                    np.asarray(out.maskR),
+                )
+
+            pan_np, disp_np, maskl_np, maskr_np = retry_transient(
+                _fwd_and_fetch,
+                retries=max(0, int(getattr(self.cfg, "relay_retries", 0))),
+                describe="validate forward",
+            )
             for slot, (i, s) in enumerate(items):
                 # per-image metrics run host-side in numpy: a jnp reduction
                 # here would re-upload each frame and block on a device sync

@@ -193,3 +193,40 @@ def test_evaluator_redispatch_on_transient_fetch(tmp_path):
     flaky = run(True)
     for k in ("abs_rel", "rms", "a1"):
         np.testing.assert_allclose(flaky[k], clean[k], rtol=1e-6)
+
+
+def test_validate_retry_on_transient_forward(tmp_path):
+    """Trainer.validate retries a transient forward failure (nothing is
+    donated there); metrics equal the clean run."""
+    tr = _tiny_trainer(tmp_path)
+
+    class ValDS:
+        def __len__(self):
+            return 3
+
+        def get(self, i, rng_=None):
+            r = np.random.default_rng(100 + i)
+            disp = (r.random((32, 1242, 1)) * 20).astype(np.float32)
+            disp[disp < 5] = 0
+            return {
+                "left": r.random((32, 1242, 3)).astype(np.float32) - 0.4,
+                "right": r.random((32, 1242, 3)).astype(np.float32) - 0.4,
+                "targets": [disp],
+            }
+
+    clean = tr.validate(ValDS())
+
+    real_fwd = tr._val_forward
+    state = {"n": 0}
+
+    def flaky_fwd(params, left):
+        state["n"] += 1
+        if state["n"] == 1:
+            raise _t()
+        return real_fwd(params, left)
+
+    tr.__dict__["_val_forward"] = flaky_fwd
+    flaky = tr.validate(ValDS())
+    assert state["n"] >= 2  # failed once, retried
+    for k in clean:
+        np.testing.assert_allclose(flaky[k], clean[k], rtol=1e-6, err_msg=k)
