@@ -130,24 +130,10 @@ def main() -> None:
     )
 
 
-def _main_with_retry(attempts: int = 3) -> None:
-    """The TPU relay in this environment occasionally drops a call with a
-    transient FAILED_PRECONDITION/UNAVAILABLE; a retry has always
-    succeeded (see CLAUDE.md).  Bound the retries so a real failure still
-    surfaces."""
-    for attempt in range(attempts):
-        try:
-            main()
-            return
-        except Exception as e:  # noqa: BLE001 - gate on message below
-            msg = str(e)
-            transient = any(
-                k in msg for k in ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE")
-            )
-            if not transient or attempt == attempts - 1:
-                raise
-            time.sleep(5.0 * (attempt + 1))
-
-
 if __name__ == "__main__":
-    _main_with_retry()
+    # The TPU relay in this environment occasionally drops a call with a
+    # transient FAILED_PRECONDITION/UNAVAILABLE; a retry has always
+    # succeeded (see CLAUDE.md).  Bounded so a real failure still surfaces.
+    from fal_net_tpu.utils.faults import retry_transient
+
+    retry_transient(main, retries=2, backoff_s=5.0, describe="bench run")

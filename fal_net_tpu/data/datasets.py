@@ -270,7 +270,7 @@ def kitti_train(
     lists_dir: Optional[str] = None,
     train_split: str = "eigen_train_split",
 ):
-    """Eigen train split (Kitti.py:26-60): 22,599 L/R pairs filtered to disk."""
+    """Eigen train split (Kitti.py:26-60): 22,600 L/R pairs filtered to disk."""
     fname = {
         "eigen_train_split": "kitti_eigen_train.txt",
         "kitti_train_split": "kitti_train_files.txt",

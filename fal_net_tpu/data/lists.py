@@ -1,8 +1,8 @@
 """Bundled KITTI Eigen split lists.
 
 The reference ships the Eigen splits as plain-text pair lists inside its
-repo (``Datasets/kitti_eigen_train.txt`` — 22,599 L/R pairs,
-``Datasets/kitti_eigen_test_improved.txt`` / ``_original.txt`` — 696
+repo (``Datasets/kitti_eigen_train.txt`` — 22,600 L/R pairs,
+``Datasets/kitti_eigen_test_improved.txt`` / ``_original.txt`` — 697
 lines each; consumed at ``Kitti.py:38-42``,
 ``Kitti_eigen_test_improved.py:26-58``,
 ``Kitti_eigen_test_original.py:25-49``).  A user switching from the
@@ -30,7 +30,7 @@ Line grammar (strict — the encoder refuses anything else):
 
 import os
 from functools import lru_cache
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -68,11 +68,19 @@ def bundled_names() -> List[str]:
 
 
 @lru_cache(maxsize=None)
-def bundled_list_lines(fname: str) -> List[str]:
-    """Regenerate the exact lines of a bundled reference split list."""
+def _cached_lines(fname: str) -> Tuple[str, ...]:
     if fname not in LIST_SPECS:
         raise KeyError(f"no bundled split list named {fname!r}; have {bundled_names()}")
     with np.load(_BUNDLE) as z:
         rows = z[fname.replace(".txt", "")]
     fmt = _FORMATTERS[LIST_SPECS[fname]]
-    return [fmt(DATES[d], int(dr), int(fr)) for d, dr, fr in rows]
+    return tuple(fmt(DATES[d], int(dr), int(fr)) for d, dr, fr in rows)
+
+
+def bundled_list_lines(fname: str) -> List[str]:
+    """Regenerate the exact lines of a bundled reference split list.
+
+    Returns a fresh list each call (the cache holds an immutable tuple)
+    so callers may mutate their copy freely.
+    """
+    return list(_cached_lines(fname))

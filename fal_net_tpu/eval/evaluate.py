@@ -263,7 +263,7 @@ class Evaluator:
         fut = self._uploader.submit(
             jax.device_put, batch_np, self._batch_sharding
         )
-        return items, fut, start
+        return items, fut, batch_np, start
 
     @functools.cached_property
     def _uploader(self):
@@ -276,15 +276,38 @@ class Evaluator:
         Returns (items, device outputs, stage timestamp); nothing blocks
         until the matching ``_collect``.
         """
-        items, fut, start = staged
+        from fal_net_tpu.utils.faults import is_transient, retry_transient
+
+        items, fut, batch_np, start = staged
         cfg = self.cfg
         want_artifacts = cfg.save and cfg.save_pan
-        left_dev = fut.result()
-        out, disp = self._jit_eval_step(
+        retries = max(0, int(getattr(cfg, "relay_retries", 0)))
+
+        # staged upload: a transient failure poisons the future forever,
+        # so the retry must re-issue device_put itself (batch_np is kept
+        # host-side exactly for this)
+        for attempt in range(retries + 1):
+            try:
+                left_dev = fut.result() if attempt == 0 else jax.device_put(
+                    batch_np, self._batch_sharding
+                )
+                break
+            except Exception as e:  # noqa: BLE001 - classified below
+                if not is_transient(e) or attempt == retries:
+                    raise
+                print(
+                    f"=> transient eval upload failure, re-uploading "
+                    f"(attempt {attempt + 1}/{retries + 1}): {e!r}"
+                )
+                time.sleep(2.0 * (attempt + 1))
+        out, disp = retry_transient(
+            self._jit_eval_step,
             self.variables,
             left_dev,
             pan=want_artifacts,
             subocc=want_artifacts,
+            retries=retries,
+            describe="eval dispatch",
         )
         return items, out, disp, left_dev, start
 
@@ -298,6 +321,15 @@ class Evaluator:
         retries = max(0, int(getattr(cfg, "relay_retries", 0)))
         for attempt in range(retries + 1):
             try:
+                if attempt:
+                    # the async forward failed in flight: re-dispatch from
+                    # the still-resident device input (nothing is donated
+                    # here); inside the try so its own transient failures
+                    # consume the same retry budget
+                    out, disp = self._jit_eval_step(
+                        self.variables, left_dev,
+                        pan=want_artifacts, subocc=want_artifacts,
+                    )
                 # np.asarray forces the device->host transfer; on the axon
                 # backend block_until_ready alone does not actually block.
                 disp_np = np.asarray(disp)[..., 0]
@@ -308,16 +340,11 @@ class Evaluator:
             except Exception as e:  # noqa: BLE001 - classified below
                 if not is_transient(e) or attempt == retries:
                     raise
-                # the async forward failed in flight: re-dispatch from the
-                # still-resident device input (nothing is donated here)
                 print(
-                    f"=> transient eval dispatch failure, re-running batch "
+                    f"=> transient eval fetch failure, re-running batch "
                     f"(attempt {attempt + 1}/{retries + 1}): {e!r}"
                 )
                 time.sleep(2.0 * (attempt + 1))
-                out, disp = self._jit_eval_step(
-                    self.variables, left_dev, pan=want_artifacts, subocc=want_artifacts
-                )
         if disp_np.dtype == np.uint16:  # quantize_transfer fixed-point
             disp_np = disp_np.astype(np.float32) / 256.0
         meters["batch_time"].update(

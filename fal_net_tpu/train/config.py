@@ -62,9 +62,14 @@ class TrainConfig:
     #   error (FAILED_PRECONDITION/UNAVAILABLE/... — utils/faults.py) up
     #   to this many times, restoring the last host-side state snapshot
     #   when the failed step already consumed its donated buffers.  The
-    #   snapshot refreshes at each epoch start and save_every_steps save.
-    #   0 disables (fail on first error, like the reference — SURVEY §5
-    #   lists no failure detection there).
+    #   snapshot refreshes at each epoch start, every snapshot_every_steps
+    #   steps, and at every save_every_steps save.  0 disables (fail on
+    #   first error, like the reference — SURVEY §5 lists no failure
+    #   detection there).
+    snapshot_every_steps: int = 500  # refresh the in-memory recovery
+    #   snapshot every N steps, bounding the worst-case rollback to N
+    #   steps of lost updates (a device_get; ~0.1 s per refresh over PCIe
+    #   for FAL_netB+Adam).  0 = only epoch-start/save-time snapshots.
     vgg_weights: Optional[str] = None  # torchvision vgg19 state_dict path
     allow_random_vgg: bool = False  # explicit opt-in: train the a_p>0
     #   perceptual term against RANDOM-init VGG features (the reference

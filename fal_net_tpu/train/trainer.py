@@ -291,17 +291,24 @@ class Trainer:
         # Run-dir layout matches Train_Stage1_K.py:92-103:
         # <save_path>/<dataset>_<stage>/<MM-DD-HH_MM>/<model>,e{E}es{S},b{B},lr{LR}
         # (epoch_size appended after "es" only when positive, like the
-        # reference; the timestamp level keeps re-runs from clobbering).
+        # reference).  The minute-resolution timestamp can collide when
+        # two same-config runs launch within one minute (the reference
+        # silently clobbers there); we suffix -2, -3, ... instead.
         import datetime
 
-        save_path = save_path or os.path.join(
-            cfg.save_path,
-            f"{cfg.dataset}_{self.stage}",
-            datetime.datetime.now().strftime("%m-%d-%H_%M"),
-            f"{cfg.model},e{cfg.epochs}es"
-            f"{cfg.epoch_size if cfg.epoch_size > 0 else ''},"
-            f"b{cfg.batch_size},lr{cfg.lr}",
-        )
+        if save_path is None:
+            stamp = datetime.datetime.now().strftime("%m-%d-%H_%M")
+            leaf = (
+                f"{cfg.model},e{cfg.epochs}es"
+                f"{cfg.epoch_size if cfg.epoch_size > 0 else ''},"
+                f"b{cfg.batch_size},lr{cfg.lr}"
+            )
+            base = os.path.join(cfg.save_path, f"{cfg.dataset}_{self.stage}")
+            save_path = os.path.join(base, stamp, leaf)
+            n = 2
+            while os.path.exists(save_path):
+                save_path = os.path.join(base, f"{stamp}-{n}", leaf)
+                n += 1
         dump_settings(save_path, cfg)
         self.logger = MetricsLogger(save_path)
 
@@ -371,15 +378,28 @@ class Trainer:
         # donated buffers.  The reference has no failure handling at all
         # (SURVEY §5 — manual --pretrained/--start_epoch relaunch).
         retries = max(0, int(getattr(cfg, "relay_retries", 0)))
+        snapshot_every = max(0, int(getattr(cfg, "snapshot_every_steps", 0)))
         if retries:
             self._host_state = jax.device_get(self.state)
 
         def _step_with_recovery(model_batch):
+            """One applied train step + its metric fetch, as a single
+            recovery unit.  Dispatch is async on remote backends, so an
+            execution failure usually surfaces at the metric fetch, after
+            the old state was already donated — the fetch must happen
+            BEFORE committing ``self.state`` so every failure mode lands
+            in the same handler: retry in place when the old state is
+            still alive, roll back to the host snapshot when it was
+            consumed."""
             for attempt in range(retries + 1):
                 try:
-                    return self.train_step(
+                    new_state, aux = self.train_step(
                         self.state, model_batch, self.vgg_params, self.teacher_params
                     )
+                    # forces execution; surfaces in-flight failures here
+                    metric_vals = (float(aux["loss"]), float(aux["rec_loss"]))
+                    self.state = new_state
+                    return metric_vals
                 except Exception as e:  # noqa: BLE001 - classified below
                     if not is_transient(e) or attempt == retries:
                         raise
@@ -394,6 +414,14 @@ class Trainer:
                             f"donated train state; rolled back to step "
                             f"{int(self.state.step)} and retrying: {e!r}"
                         )
+                        if self.logger:
+                            # make the step-counter regression visible in
+                            # the metric timeline instead of silently
+                            # re-emitting old step indices
+                            self.logger.scalars(
+                                int(self.state.step), {"rollback": 1.0},
+                                prefix="train/",
+                            )
                     else:
                         print(
                             "=> transient dispatch failure (state intact), "
@@ -419,15 +447,13 @@ class Trainer:
                 # the constant +max_disp, and keeping it a python float
                 # preserves the fused Pallas MED head.
                 model_batch["max_disp"] = batch["max_disp"]
-            self.state, aux = _step_with_recovery(model_batch)
-            # metric fetch crosses device->host: retryable, nothing donated
-            loss_v, rec_v = retry_transient(
-                lambda: (float(aux["loss"]), float(aux["rec_loss"])),
-                retries=retries,
-                describe="train metric fetch",
-            )
+            loss_v, rec_v = _step_with_recovery(model_batch)
             losses.update(loss_v, cfg.batch_size)
             rec_losses.update(rec_v, cfg.batch_size)
+            if retries and snapshot_every and (i + 1) % snapshot_every == 0:
+                # bound the worst-case rollback distance without waiting
+                # for save_every_steps (which defaults to off)
+                self._host_state = jax.device_get(self.state)
             batch_time.update(time.time() - end)
             end = time.time()
             if i % cfg.print_freq == 0:

@@ -33,10 +33,11 @@ TRANSIENT_MARKERS: Tuple[str, ...] = (
     "FAILED_PRECONDITION",
     "UNAVAILABLE",
     "DEADLINE_EXCEEDED",
-    "RESOURCE_EXHAUSTED",
     "Socket closed",
     "Connection reset",
 )
+# NOT listed: RESOURCE_EXHAUSTED — device OOM is deterministic; retrying
+# the identical program just re-OOMs and hides a configuration error.
 
 
 def is_transient(exc: BaseException) -> bool:

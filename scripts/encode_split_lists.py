@@ -1,8 +1,8 @@
 """Encode the KITTI Eigen split lists into the bundled binary form.
 
 The reference ships the Eigen splits as plain-text pair lists
-(``Datasets/kitti_eigen_train.txt`` 22,599 lines,
-``kitti_eigen_test_{improved,original}.txt`` 696 lines each — SURVEY
+(``Datasets/kitti_eigen_train.txt`` 22,600 pair lines,
+``kitti_eigen_test_{improved,original}.txt`` 697 lines each — SURVEY
 §2.3).  Every line is fully determined by a ``(date, drive, frame)``
 triple (verified here with strict regexes), so we ship the split DATA as
 one ~100 KB uint16 ``.npz`` instead of ~3 MB of text, and

@@ -230,3 +230,36 @@ def test_validate_retry_on_transient_forward(tmp_path):
     assert state["n"] >= 2  # failed once, retried
     for k in clean:
         np.testing.assert_allclose(flaky[k], clean[k], rtol=1e-6, err_msg=k)
+
+
+def test_train_step_failure_surfacing_at_metric_fetch(tmp_path):
+    """Dispatch is async on remote backends: an execution failure often
+    surfaces at the metric fetch, AFTER the old state was donated.  The
+    step + fetch form one recovery unit, so this must roll back and
+    retry, not crash."""
+    tr = _tiny_trainer(tmp_path)
+    real_step = tr.train_step
+    calls = {"n": 0}
+
+    class FlakyScalar:
+        def __float__(self):
+            raise _t("UNAVAILABLE: Socket closed mid-fetch")
+
+    def flaky_step(state, batch, vgg, teacher):
+        calls["n"] += 1
+        new_state, aux = real_step(state, batch, vgg, teacher)
+        if calls["n"] == 2:
+            # emulate the async case: dispatch "succeeded", the old state
+            # is already gone, and the error surfaces only at fetch time
+            for leaf in jax.tree.leaves(state):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            aux = dict(aux)
+            aux["loss"] = FlakyScalar()
+        return new_state, aux
+
+    tr.train_step = flaky_step
+    res = tr.fit(save_path=str(tmp_path / "run"))
+    assert np.isfinite(res["history"][-1]["loss"])
+    assert calls["n"] == 4  # 3 batches + 1 retry after the rollback
+    assert int(tr.state.step) == 2  # step 1 lost to the rollback

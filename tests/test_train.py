@@ -208,3 +208,14 @@ def test_default_run_dir_matches_reference_layout(tmp_path):
     assert re.fullmatch(r"\d{2}-\d{2}-\d{2}_\d{2}", stamps[0]), stamps[0]
     leaf = root / stamps[0] / f"tiny,e1es2,b8,lr{cfg.lr}"
     assert (leaf / "settings.txt").is_file()
+
+    # same-minute same-config relaunch must NOT clobber: a -2 suffix keeps
+    # the runs apart (the reference would silently reuse the directory)
+    tr2 = Trainer(cfg, stage="stage1", mesh=make_mesh(1),
+                  train_dataset=SyntheticStereo(n=8))
+    tr2.fit()
+    stamps = sorted(p.name for p in root.iterdir())
+    assert len(stamps) == 2
+    assert all(
+        re.fullmatch(r"\d{2}-\d{2}-\d{2}_\d{2}(-\d+)?", s) for s in stamps
+    ), stamps
