@@ -40,6 +40,7 @@ class DisparityPipeline:
         mesh: Optional[jax.sharding.Mesh] = None,
         quantize_uint16: bool = False,
         device_normalize: bool = False,
+        relay_retries: int = 2,
     ):
         """``mesh``: shard each serving batch over the mesh's 'data' axis —
         multi-chip batched inference with params replicated (XLA partitions
@@ -56,7 +57,14 @@ class DisparityPipeline:
         normalization runs on device in fp32 (equal to host normalization
         to 1 ulp of the mean subtraction) and the host->device copy
         shrinks 4x — uploads are the dominant serving cost on a slow host
-        link, and serving inputs are uint8 anyway."""
+        link, and serving inputs are uint8 anyway.
+
+        ``relay_retries``: transient runtime failures of a batch's forward
+        dispatch or disparity fetch re-run that batch from its resident
+        device input up to this many times (utils/faults.py; nothing is
+        donated here).  Upload failures inside the prefetch thread are NOT
+        retried — the host batch is already consumed — and abort the run
+        for the caller to resubmit.  0 disables."""
         self.model = model
         self.batch_size = batch_size
         self.min_disp = min_disp
@@ -74,6 +82,7 @@ class DisparityPipeline:
                 stacklevel=2,
             )
         self.device_normalize = device_normalize
+        self.relay_retries = max(0, int(relay_retries))
         self.mesh = mesh
         self._sharding = None
         if mesh is not None:
@@ -152,8 +161,27 @@ class DisparityPipeline:
                 "images": np.stack(imgs + [np.zeros_like(imgs[0])] * pad),
             }
 
-    def _fetch(self, names, disp):
-        disp_np = np.asarray(disp)[..., 0]
+    def _fetch(self, names, disp, images_dev):
+        import time
+
+        from fal_net_tpu.utils.faults import is_transient
+
+        for attempt in range(self.relay_retries + 1):
+            try:
+                if attempt:
+                    # async dispatch failures surface here, at fetch time:
+                    # re-run the batch from its resident device input
+                    disp = self._forward(self.variables, images_dev)
+                disp_np = np.asarray(disp)[..., 0]
+                break
+            except Exception as e:  # noqa: BLE001 - classified below
+                if not is_transient(e) or attempt == self.relay_retries:
+                    raise
+                print(
+                    f"=> transient serving fetch failure, re-running batch "
+                    f"(attempt {attempt + 1}/{self.relay_retries + 1}): {e!r}"
+                )
+                time.sleep(2.0 * (attempt + 1))
         if disp_np.dtype == np.uint16:
             disp_np = disp_np.astype(np.float32) / 256.0
         for i, name in enumerate(names):
@@ -165,6 +193,8 @@ class DisparityPipeline:
         """items: (name, HWC image) -> (name, HW disparity).  Images are
         /255−mean normalized float32, or raw uint8 RGB with
         ``device_normalize=True``."""
+        from fal_net_tpu.utils.faults import retry_transient
+
         staged = prefetch_to_device(
             self._batches(items), size=2, sharding=self._sharding
         )
@@ -173,9 +203,15 @@ class DisparityPipeline:
         # device->host fetch, so compute and the output link run together.
         pending = None
         for batch in staged:
-            disp = self._forward(self.variables, batch["images"])
+            disp = retry_transient(
+                self._forward,
+                self.variables,
+                batch["images"],
+                retries=self.relay_retries,
+                describe="serving dispatch",
+            )
             if pending is not None:
                 yield from self._fetch(*pending)
-            pending = (batch["names"], disp)
+            pending = (batch["names"], disp, batch["images"])
         if pending is not None:
             yield from self._fetch(*pending)

@@ -263,3 +263,47 @@ def test_train_step_failure_surfacing_at_metric_fetch(tmp_path):
     assert np.isfinite(res["history"][-1]["loss"])
     assert calls["n"] == 4  # 3 batches + 1 retry after the rollback
     assert int(tr.state.step) == 2  # step 1 lost to the rollback
+
+
+def test_pipeline_retry_on_transient_fetch(rng):
+    """DisparityPipeline re-runs a batch whose async forward failed at
+    fetch time; outputs equal the clean run."""
+    from fal_net_tpu.eval.pipeline import DisparityPipeline
+    from fal_net_tpu.models import create_model
+    import jax.numpy as jnp
+
+    model = create_model("tiny", 5)
+    h, w = 32, 64
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)), 2.0, 30.0, ret_disp=True
+    )
+    items = [(f"i{i}", rng.random((h, w, 3)).astype(np.float32) - 0.4)
+             for i in range(6)]
+
+    clean = dict(DisparityPipeline(
+        model, variables, batch_size=4, max_disp=30.0).run(iter(items)))
+
+    pipe = DisparityPipeline(model, variables, batch_size=4, max_disp=30.0)
+    real_fwd = pipe._forward
+    state = {"n": 0}
+
+    class FlakyFetch:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def __array__(self, dtype=None, copy=None):
+            raise _t("UNAVAILABLE: Socket closed mid-transfer")
+
+    def flaky(variables, images):
+        out = real_fwd(variables, images)
+        state["n"] += 1
+        if state["n"] == 1:
+            return FlakyFetch(out)
+        return out
+
+    pipe.__dict__["_forward"] = flaky
+    flaky_out = dict(pipe.run(iter(items)))
+    assert state["n"] >= 3  # 2 batches + 1 re-dispatch
+    assert clean.keys() == flaky_out.keys()
+    for k in clean:
+        np.testing.assert_allclose(flaky_out[k], clean[k], rtol=1e-6)
