@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
         "RESOLUTION and caps values at 255.996 px, so leave this off "
         "when inputs are resized or disparities can exceed 256",
     )
+    p.add_argument(
+        "--relay_retries", type=int, default=2,
+        help="re-run a batch whose dispatch/fetch failed with a transient "
+        "runtime error, up to this many times (0 = fail fast)",
+    )
     p.add_argument("--colormap", action="store_true",
                    help="also write plasma-colormap PNGs")
     p.add_argument("--save_pc", action="store_true", help="also write .ply")
@@ -164,6 +169,7 @@ def main(argv=None) -> None:
                 ("max_disp", "--max_disp"),
                 ("height", "--height"),
                 ("width", "--width"),
+                ("relay_retries", "--relay_retries"),
             )
             if getattr(args, name) != parser.get_default(name)
         ]
@@ -255,6 +261,7 @@ def main(argv=None) -> None:
             # raw uint8 upload + on-device /255 - mean: 4x fewer H2D
             # bytes, same normalization math (fp32, 1-ulp of the host path)
             device_normalize=True,
+            relay_retries=args.relay_retries,
         )
         results = pipe.run(items(raw_uint8=True))
 
