@@ -121,10 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _run_artifact(fwd, items) -> Iterator[Tuple[str, np.ndarray]]:
+def _run_artifact(fwd, items, relay_retries: int = 2) -> Iterator[Tuple[str, np.ndarray]]:
     """``fwd``: a loaded ``serve.load_exported`` artifact (single-shape or
     multi-shape bundle — images are bucketed by their resized shape and
-    each bucket batches independently)."""
+    each bucket batches independently).  Transient dispatch/fetch
+    failures re-run the batch from its host copy (``relay_retries``)."""
+    from fal_net_tpu.utils.faults import retry_transient
+
     bs = fwd.meta["batch"]
     buckets = {}
 
@@ -132,7 +135,11 @@ def _run_artifact(fwd, items) -> Iterator[Tuple[str, np.ndarray]]:
         names, imgs = buckets.pop(key)
         pad = bs - len(imgs)
         batch = np.stack(imgs + [np.zeros_like(imgs[0])] * pad)
-        disp = np.asarray(fwd(batch)[0])[..., 0]
+        disp = retry_transient(
+            lambda: np.asarray(fwd(batch)[0])[..., 0],
+            retries=relay_retries,
+            describe="artifact serving batch",
+        )
         for i, name in enumerate(names):
             yield name, disp[i]
 
@@ -169,7 +176,6 @@ def main(argv=None) -> None:
                 ("max_disp", "--max_disp"),
                 ("height", "--height"),
                 ("width", "--width"),
-                ("relay_retries", "--relay_retries"),
             )
             if getattr(args, name) != parser.get_default(name)
         ]
@@ -239,7 +245,9 @@ def main(argv=None) -> None:
         # the artifact metadata records its input signature: raw uint8
         # (normalize baked in) or host-normalized fp32
         raw = artifact_fwd.meta.get("input") == "uint8"
-        results = _run_artifact(artifact_fwd, items(raw_uint8=raw))
+        results = _run_artifact(
+            artifact_fwd, items(raw_uint8=raw), relay_retries=args.relay_retries
+        )
     else:
         from fal_net_tpu.eval.pipeline import DisparityPipeline
         from fal_net_tpu.models import create_model
