@@ -130,10 +130,46 @@ def main() -> None:
     )
 
 
+def _main_with_watchdog() -> None:
+    """One bench attempt, bounded to BENCH_ATTEMPT_TIMEOUT_S seconds (env,
+    default 1500 — cached compiles finish in well under that).  A hung
+    relay (observed: an outage where even trivial dispatches stalled for
+    hours) thereby becomes a DEADLINE_EXCEEDED that the transient-retry
+    wrapper below can act on, instead of an indefinite hang.
+
+    The attempt runs on a daemon thread joined with a timeout — a signal
+    handler cannot fire while the main thread is blocked inside a C call,
+    which is exactly where a dead relay parks it.  A timed-out attempt's
+    thread is abandoned (daemon: it dies with the process)."""
+    import os
+    import threading
+
+    budget = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1500"))
+    result: dict = {}
+
+    def target():
+        try:
+            main()
+            result["ok"] = True
+        except BaseException as e:  # noqa: BLE001 - re-raised on the caller
+            result["err"] = e
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(budget)
+    if t.is_alive():
+        raise TimeoutError(
+            f"DEADLINE_EXCEEDED: bench attempt exceeded {budget:.0f}s "
+            "(hung dispatch — relay down?)"
+        )
+    if "err" in result:
+        raise result["err"]
+
+
 if __name__ == "__main__":
     # The TPU relay in this environment occasionally drops a call with a
     # transient FAILED_PRECONDITION/UNAVAILABLE; a retry has always
     # succeeded (see CLAUDE.md).  Bounded so a real failure still surfaces.
     from fal_net_tpu.utils.faults import retry_transient
 
-    retry_transient(main, retries=2, backoff_s=5.0, describe="bench run")
+    retry_transient(_main_with_watchdog, retries=2, backoff_s=5.0, describe="bench run")
