@@ -345,3 +345,14 @@ def test_train_cli_resume(tree, tmp_path, monkeypatch):
     ]
     assert max(m["epoch"] for m in metas) == 1  # epoch 1 ran after resume
     assert all(m["epoch"] < 2 for m in metas)  # and only epoch 1
+
+
+def test_selfcheck_cli_passes():
+    """falnet-selfcheck validates an install end-to-end (backend, forward
+    bounds, fused-kernel numerics vs the jnp oracle, one train step);
+    exits 0 on this healthy CPU backend."""
+    from fal_net_tpu.cli import selfcheck
+
+    with pytest.raises(SystemExit) as e:
+        selfcheck.main([])
+    assert e.value.code == 0
