@@ -276,7 +276,7 @@ class Evaluator:
         Returns (items, device outputs, stage timestamp); nothing blocks
         until the matching ``_collect``.
         """
-        from fal_net_tpu.utils.faults import is_transient, retry_transient
+        from fal_net_tpu.utils.faults import fetch_with_redispatch, retry_transient
 
         items, fut, batch_np, start = staged
         cfg = self.cfg
@@ -286,20 +286,15 @@ class Evaluator:
         # staged upload: a transient failure poisons the future forever,
         # so the retry must re-issue device_put itself (batch_np is kept
         # host-side exactly for this)
-        for attempt in range(retries + 1):
-            try:
-                left_dev = fut.result() if attempt == 0 else jax.device_put(
-                    batch_np, self._batch_sharding
-                )
-                break
-            except Exception as e:  # noqa: BLE001 - classified below
-                if not is_transient(e) or attempt == retries:
-                    raise
-                print(
-                    f"=> transient eval upload failure, re-uploading "
-                    f"(attempt {attempt + 1}/{retries + 1}): {e!r}"
-                )
-                time.sleep(2.0 * (attempt + 1))
+        fresh = {}
+        left_dev = fetch_with_redispatch(
+            lambda: fresh["left"] if fresh else fut.result(),
+            lambda: fresh.__setitem__(
+                "left", jax.device_put(batch_np, self._batch_sharding)
+            ),
+            retries=retries,
+            describe="eval upload",
+        )
         out, disp = retry_transient(
             self._jit_eval_step,
             self.variables,
@@ -313,38 +308,36 @@ class Evaluator:
 
     def _collect(self, pending, meters, out_dirs) -> None:
         """Fetch a dispatched batch to host and run per-image export/metrics."""
-        from fal_net_tpu.utils.faults import is_transient
+        from fal_net_tpu.utils.faults import fetch_with_redispatch
 
         cfg = self.cfg
         items, out, disp, left_dev, start = pending
         want_artifacts = cfg.save and cfg.save_pan
-        retries = max(0, int(getattr(cfg, "relay_retries", 0)))
-        for attempt in range(retries + 1):
-            try:
-                if attempt:
-                    # the async forward failed in flight: re-dispatch from
-                    # the still-resident device input (nothing is donated
-                    # here); inside the try so its own transient failures
-                    # consume the same retry budget
-                    out, disp = self._jit_eval_step(
-                        self.variables, left_dev,
-                        pan=want_artifacts, subocc=want_artifacts,
-                    )
-                # np.asarray forces the device->host transfer; on the axon
-                # backend block_until_ready alone does not actually block.
-                disp_np = np.asarray(disp)[..., 0]
-                pan_np = np.asarray(out.pan) if want_artifacts and out.pan is not None else None
-                maskl_np = np.asarray(out.maskL) if want_artifacts and out.maskL is not None else None
-                maskr_np = np.asarray(out.maskR) if want_artifacts and out.maskR is not None else None
-                break
-            except Exception as e:  # noqa: BLE001 - classified below
-                if not is_transient(e) or attempt == retries:
-                    raise
-                print(
-                    f"=> transient eval fetch failure, re-running batch "
-                    f"(attempt {attempt + 1}/{retries + 1}): {e!r}"
-                )
-                time.sleep(2.0 * (attempt + 1))
+        dev = {"out": out, "disp": disp}
+
+        def fetch():
+            # np.asarray forces the device->host transfer; on the axon
+            # backend block_until_ready alone does not actually block.
+            out, disp = dev["out"], dev["disp"]
+            return (
+                np.asarray(disp)[..., 0],
+                np.asarray(out.pan) if want_artifacts and out.pan is not None else None,
+                np.asarray(out.maskL) if want_artifacts and out.maskL is not None else None,
+                np.asarray(out.maskR) if want_artifacts and out.maskR is not None else None,
+            )
+
+        def redispatch():
+            # the async forward failed in flight: re-run from the
+            # still-resident device input (nothing is donated here)
+            dev["out"], dev["disp"] = self._jit_eval_step(
+                self.variables, left_dev, pan=want_artifacts, subocc=want_artifacts
+            )
+
+        disp_np, pan_np, maskl_np, maskr_np = fetch_with_redispatch(
+            fetch, redispatch,
+            retries=max(0, int(getattr(cfg, "relay_retries", 0))),
+            describe="eval batch",
+        )
         if disp_np.dtype == np.uint16:  # quantize_transfer fixed-point
             disp_np = disp_np.astype(np.float32) / 256.0
         meters["batch_time"].update(

@@ -162,26 +162,19 @@ class DisparityPipeline:
             }
 
     def _fetch(self, names, disp, images_dev):
-        import time
+        from fal_net_tpu.utils.faults import fetch_with_redispatch
 
-        from fal_net_tpu.utils.faults import is_transient
-
-        for attempt in range(self.relay_retries + 1):
-            try:
-                if attempt:
-                    # async dispatch failures surface here, at fetch time:
-                    # re-run the batch from its resident device input
-                    disp = self._forward(self.variables, images_dev)
-                disp_np = np.asarray(disp)[..., 0]
-                break
-            except Exception as e:  # noqa: BLE001 - classified below
-                if not is_transient(e) or attempt == self.relay_retries:
-                    raise
-                print(
-                    f"=> transient serving fetch failure, re-running batch "
-                    f"(attempt {attempt + 1}/{self.relay_retries + 1}): {e!r}"
-                )
-                time.sleep(2.0 * (attempt + 1))
+        dev = {"disp": disp}
+        disp_np = fetch_with_redispatch(
+            lambda: np.asarray(dev["disp"])[..., 0],
+            # async dispatch failures surface at fetch time: re-run the
+            # batch from its resident device input
+            lambda: dev.__setitem__(
+                "disp", self._forward(self.variables, images_dev)
+            ),
+            retries=self.relay_retries,
+            describe="serving batch",
+        )
         if disp_np.dtype == np.uint16:
             disp_np = disp_np.astype(np.float32) / 256.0
         for i, name in enumerate(names):

@@ -82,6 +82,40 @@ def retry_transient(
     raise AssertionError("unreachable")
 
 
+def fetch_with_redispatch(
+    fetch: Callable[[], Any],
+    redispatch: Callable[[], None],
+    retries: int = 2,
+    backoff_s: float = 2.0,
+    describe: str = "fetch",
+) -> Any:
+    """Pull async results to host with transient-failure recovery.
+
+    Dispatch is asynchronous on remote backends, so an execution failure
+    usually surfaces at the device->host ``fetch``; when that happens
+    transiently, ``redispatch`` re-runs the computation (callers close
+    over their still-resident device inputs and rebind whatever ``fetch``
+    reads) and the fetch is retried.  ``redispatch``'s own transient
+    failures consume the same retry budget.  For NON-donating dispatches
+    only — the donating train step needs the snapshot-rollback dance in
+    the Trainer instead.
+    """
+    for attempt in range(retries + 1):
+        try:
+            if attempt:
+                redispatch()
+            return fetch()
+        except Exception as e:  # noqa: BLE001 - classified below
+            if not is_transient(e) or attempt == retries:
+                raise
+            print(
+                f"=> transient {describe} failure, re-running "
+                f"(attempt {attempt + 1}/{retries + 1}): {e!r}"
+            )
+            time.sleep(backoff_s * (attempt + 1))
+    raise AssertionError("unreachable")
+
+
 def tree_alive(tree: Any) -> bool:
     """True when no jax.Array leaf of ``tree`` has been deleted/donated."""
     for leaf in jax.tree.leaves(tree):
