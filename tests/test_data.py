@@ -197,3 +197,55 @@ def test_random_swap_when_not_fixed(kitti_tree):
             s = train.get(i, np.random.default_rng(seed))
             signs.add(float(s["max_disp"]))
     assert signs == {300.0, -300.0}
+
+
+def test_random_resize_crop_parity_vs_reference(rng):
+    """Pixel parity of RandomResizeCrop vs the reference implementation
+    (data_transforms.py:46-83) with the random draws pinned to the same
+    values: same PIL-bicubic resize, same int truncation of the scaled
+    size, same crop indexing."""
+    import importlib
+    import random as pyrandom
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        ref_mod = importlib.import_module("data_transforms")
+    except ImportError:
+        pytest.skip("reference checkout not importable")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from fal_net_tpu.data.transforms import RandomResizeCrop
+
+    h, w, th, tw = 96, 320, 64, 160
+    left = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    right = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+
+    factor, x1, y1 = 1.2345, 17, 5
+
+    # reference: global np.random / random draws -> pin them
+    ref_t = ref_mod.RandomResizeCrop((th, tw), down=0.75, up=1.5)
+    orig_uniform, orig_randint = np.random.uniform, pyrandom.randint
+    np.random.uniform = lambda low, high: factor
+    draws = iter([x1, y1])
+    pyrandom.randint = lambda a, b: next(draws)
+    try:
+        ref_out, _ = ref_t([left.copy(), right.copy()], None)
+    finally:
+        np.random.uniform, pyrandom.randint = orig_uniform, orig_randint
+
+    # ours: explicit rng -> a stub producing the same draws
+    class StubRng:
+        def __init__(self):
+            self._ints = iter([x1, y1])
+
+        def uniform(self, low, high):
+            return factor
+
+        def integers(self, low, high):
+            return next(self._ints)
+
+    ours, _ = RandomResizeCrop((th, tw))([left.copy(), right.copy()], None, StubRng())
+    for a, b in zip(ours, ref_out):
+        np.testing.assert_array_equal(a, b)
