@@ -249,3 +249,67 @@ def test_random_resize_crop_parity_vs_reference(rng):
     ours, _ = RandomResizeCrop((th, tw))([left.copy(), right.copy()], None, StubRng())
     for a, b in zip(ours, ref_out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_photometric_transforms_parity_vs_reference(rng):
+    """Pinned-draw parity of RandomGamma / RandomBrightness /
+    RandomCBrightness / RandomHorizontalFlip vs the reference
+    (data_transforms.py:86-155): same gamma domain (/255 power), same
+    255 clamp placement, per-view-per-channel gain redraw order, and the
+    stereo swap+mirror flip."""
+    import importlib
+    import random as pyrandom
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        ref_mod = importlib.import_module("data_transforms")
+    except ImportError:
+        pytest.skip("reference checkout not importable")
+    finally:
+        sys.path.remove("/root/reference")
+
+    from fal_net_tpu.data.transforms import (
+        RandomBrightness,
+        RandomChannelBrightness,
+        RandomGamma,
+        RandomHorizontalFlip,
+    )
+
+    left = (rng.random((24, 32, 3)) * 255).astype(np.float32)
+    right = (rng.random((24, 32, 3)) * 255).astype(np.float32)
+    # gamma, brightness, then 6 per-view-per-channel gains
+    uniform_draws = [1.13, 1.7, 0.85, 1.1, 0.95, 1.15, 0.9, 1.05]
+
+    orig_random, orig_uniform = pyrandom.random, pyrandom.uniform
+    pyrandom.random = lambda: 0.0  # always apply (and always flip)
+    it = iter(uniform_draws)
+    pyrandom.uniform = lambda a, b: next(it)
+    try:
+        ref_in = [left.copy(), right.copy()]
+        ref_in, _ = ref_mod.RandomHorizontalFlip()(ref_in, None)
+        ref_in, _ = ref_mod.RandomGamma(min=0.8, max=1.2)(ref_in, None)
+        ref_in, _ = ref_mod.RandomBrightness(min=0.5, max=2.0)(ref_in, None)
+        ref_in, _ = ref_mod.RandomCBrightness(min=0.8, max=1.2)(ref_in, None)
+    finally:
+        pyrandom.random, pyrandom.uniform = orig_random, orig_uniform
+
+    class StubRng:
+        def __init__(self, draws):
+            self._it = iter(draws)
+
+        def random(self):
+            return 0.0
+
+        def uniform(self, a, b):
+            return next(self._it)
+
+    srng = StubRng(uniform_draws)
+    ours = [left.copy(), right.copy()]
+    ours, _ = RandomHorizontalFlip()(ours, None, srng)
+    ours, _ = RandomGamma()(ours, None, srng)
+    ours, _ = RandomBrightness()(ours, None, srng)
+    ours, _ = RandomChannelBrightness()(ours, None, srng)
+
+    for a, b in zip(ours, ref_in):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-3)
