@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# Per-round on-chip verification ritual (see CLAUDE.md / .claude/skills/verify).
+# Run after any kernel/training/perf change, once the relay answers a probe.
+# Usage: bash scripts/onchip_ritual.sh [quick|full]
+#   quick (default): probe + selfcheck + bench
+#   full:            + Mosaic kernel numerics + stage-1 + stage-2 on-chip
+#                      convergence (~20-30 min total on a healthy relay)
+set -u
+cd "$(dirname "$0")/.."
+MODE="${1:-quick}"
+
+step() { echo; echo "=== $* ==="; }
+
+step "probe (trivial matmul, 120s budget)"
+if ! timeout 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((8,128))
+print('probe ok:', float((x @ x.T).sum()))"; then
+    echo "RELAY DOWN — aborting ritual (re-run when the probe passes)"
+    exit 2
+fi
+
+step "selfcheck --full"
+timeout 2400 python -m fal_net_tpu.cli.selfcheck --full || exit 1
+
+step "bench"
+timeout 5400 python bench.py || exit 1
+
+if [ "$MODE" = "full" ]; then
+    step "Mosaic kernel numerics (verify_tpu)"
+    timeout 1800 python scripts/verify_tpu.py || exit 1
+    step "stage-1 on-chip convergence (verify_train_tpu)"
+    timeout 2400 python scripts/verify_train_tpu.py || exit 1
+    step "stage-2 on-chip convergence (verify_train_stage2_tpu)"
+    timeout 2400 python scripts/verify_train_stage2_tpu.py || exit 1
+fi
+
+echo
+echo "RITUAL PASS ($MODE)"
