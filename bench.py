@@ -130,46 +130,62 @@ def main() -> None:
     )
 
 
-def _main_with_watchdog() -> None:
-    """One bench attempt, bounded to BENCH_ATTEMPT_TIMEOUT_S seconds (env,
-    default 1500 — cached compiles finish in well under that).  A hung
-    relay (observed: an outage where even trivial dispatches stalled for
-    hours) thereby becomes a DEADLINE_EXCEEDED that the transient-retry
-    wrapper below can act on, instead of an indefinite hang.
+def _attempt_in_subprocess() -> None:
+    """One bench attempt as a KILLED-on-timeout subprocess
+    (BENCH_ATTEMPT_TIMEOUT_S env, default 1500 s — cached compiles finish
+    in well under that).  A hung relay (observed: an outage where even
+    trivial dispatches stalled for hours) thereby becomes a
+    DEADLINE_EXCEEDED the transient-retry wrapper below can act on.
 
-    The attempt runs on a daemon thread joined with a timeout — a signal
-    handler cannot fire while the main thread is blocked inside a C call,
-    which is exactly where a dead relay parks it.  A timed-out attempt's
-    thread is abandoned (daemon: it dies with the process)."""
+    A subprocess — not a watchdog thread — because an abandoned thread
+    stays parked in the blocked C call: if the relay later recovered, it
+    would resume and run a second bench concurrently with the retry
+    (double JSON output, mutually corrupted timings, parallel compiles).
+    Killing the child guarantees at most one attempt is alive."""
     import os
-    import threading
+    import subprocess
+    import sys
 
     budget = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1500"))
-    result: dict = {}
-
-    def target():
-        try:
-            main()
-            result["ok"] = True
-        except BaseException as e:  # noqa: BLE001 - re-raised on the caller
-            result["err"] = e
-
-    t = threading.Thread(target=target, daemon=True)
-    t.start()
-    t.join(budget)
-    if t.is_alive():
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            timeout=budget,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
         raise TimeoutError(
             f"DEADLINE_EXCEEDED: bench attempt exceeded {budget:.0f}s "
             "(hung dispatch — relay down?)"
-        )
-    if "err" in result:
-        raise result["err"]
+        ) from None
+    sys.stdout.write(proc.stdout)
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        # classify from the child's own traceback: transient runtime
+        # errors get their retries, real bugs surface immediately
+        from fal_net_tpu.utils.faults import TRANSIENT_MARKERS
+
+        blob = proc.stderr + proc.stdout
+        if any(m in blob for m in TRANSIENT_MARKERS):
+            raise RuntimeError(
+                f"UNAVAILABLE: transient bench-child failure "
+                f"(exit {proc.returncode})"
+            )
+        raise RuntimeError(f"bench attempt failed with exit {proc.returncode}")
 
 
 if __name__ == "__main__":
-    # The TPU relay in this environment occasionally drops a call with a
-    # transient FAILED_PRECONDITION/UNAVAILABLE; a retry has always
-    # succeeded (see CLAUDE.md).  Bounded so a real failure still surfaces.
-    from fal_net_tpu.utils.faults import retry_transient
+    import sys
 
-    retry_transient(_main_with_watchdog, retries=2, backoff_s=5.0, describe="bench run")
+    if "--once" in sys.argv:
+        main()  # the actual measurement, run as a killable child
+    else:
+        # The TPU relay in this environment occasionally drops a call with
+        # a transient FAILED_PRECONDITION/UNAVAILABLE; a retry has always
+        # succeeded (see CLAUDE.md).  Bounded so real failures surface.
+        from fal_net_tpu.utils.faults import retry_transient
+
+        retry_transient(
+            _attempt_in_subprocess, retries=2, backoff_s=5.0, describe="bench run"
+        )

@@ -27,32 +27,15 @@ executed phase passes.
 from __future__ import annotations
 
 import argparse
-import sys
-import threading
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 
 def _bounded(fn: Callable[[], object], budget_s: float):
-    """Run fn on a daemon thread; (ok, value_or_error, seconds)."""
-    result: dict = {}
+    """Run fn under the shared hang watchdog; (ok, value_or_error, s)."""
+    from fal_net_tpu.utils.faults import run_bounded
 
-    def target():
-        try:
-            result["value"] = fn()
-        except BaseException as e:  # noqa: BLE001 - reported to the user
-            result["error"] = e
-
-    t = threading.Thread(target=target, daemon=True)
-    t0 = time.time()
-    t.start()
-    t.join(budget_s)
-    dt = time.time() - t0
-    if t.is_alive():
-        return False, TimeoutError(f"no response in {budget_s:.0f}s"), dt
-    if "error" in result:
-        return False, result["error"], dt
-    return True, result.get("value"), dt
+    return run_bounded(fn, budget_s)
 
 
 def _check_backend():

@@ -64,6 +64,7 @@ def retry_transient(
     Non-transient errors and exhausted retries re-raise the original
     exception unchanged.
     """
+    retries = max(0, int(retries))
     for attempt in range(retries + 1):
         try:
             return fn(*args, **kwargs)
@@ -100,6 +101,7 @@ def fetch_with_redispatch(
     only — the donating train step needs the snapshot-rollback dance in
     the Trainer instead.
     """
+    retries = max(0, int(retries))
     for attempt in range(retries + 1):
         try:
             if attempt:
@@ -114,6 +116,42 @@ def fetch_with_redispatch(
             )
             time.sleep(backoff_s * (attempt + 1))
     raise AssertionError("unreachable")
+
+
+def run_bounded(fn: Callable[[], Any], budget_s: float):
+    """Run ``fn`` on a daemon thread, joined with a timeout.
+
+    Returns ``(ok, value_or_error, seconds)``.  A remote backend that
+    dies mid-call parks the caller inside a blocking C call where no
+    signal handler can fire; the thread-join converts that into a
+    ``TimeoutError`` (message carries DEADLINE_EXCEEDED so
+    :func:`is_transient` classifies it).  The abandoned thread stays
+    parked until process exit (daemon) — do NOT start another attempt of
+    work that must not run twice in the same process; use a subprocess
+    for that (see bench.py).
+    """
+    result: dict = {}
+
+    def target():
+        try:
+            result["value"] = fn()
+        except BaseException as e:  # noqa: BLE001 - reported to the caller
+            result["error"] = e
+
+    import threading
+
+    t = threading.Thread(target=target, daemon=True)
+    t0 = time.time()
+    t.start()
+    t.join(budget_s)
+    dt = time.time() - t0
+    if t.is_alive():
+        return False, TimeoutError(
+            f"DEADLINE_EXCEEDED: no response in {budget_s:.0f}s"
+        ), dt
+    if "error" in result:
+        return False, result["error"], dt
+    return True, result.get("value"), dt
 
 
 def tree_alive(tree: Any) -> bool:

@@ -20,8 +20,10 @@ print('probe ok:', float((x @ x.T).sum()))"; then
     exit 2
 fi
 
+# outer timeout must exceed selfcheck's worst case: 5 phases x the
+# per-phase watchdog (--timeout), plus slack
 step "selfcheck --full"
-timeout 2400 python -m fal_net_tpu.cli.selfcheck --full || exit 1
+timeout 5400 python -m fal_net_tpu.cli.selfcheck --full --timeout 900 || exit 1
 
 step "bench"
 timeout 5400 python bench.py || exit 1
