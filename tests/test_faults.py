@@ -307,3 +307,29 @@ def test_pipeline_retry_on_transient_fetch(rng):
     assert clean.keys() == flaky_out.keys()
     for k in clean:
         np.testing.assert_allclose(flaky_out[k], clean[k], rtol=1e-6)
+
+
+def test_snapshot_every_steps_bounds_rollback(tmp_path):
+    """With snapshot_every_steps=1 the recovery point advances each step,
+    so a donation-consuming failure at batch 3 rolls back only one step
+    (vs the epoch-start rollback in the test above)."""
+    tr = _tiny_trainer(tmp_path, snapshot_every_steps=1)
+    real_step = tr.train_step
+    calls = {"n": 0}
+
+    def flaky_step(state, batch, vgg, teacher):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            for leaf in jax.tree.leaves(state):
+                if isinstance(leaf, jax.Array):
+                    leaf.delete()
+            raise _t()
+        return real_step(state, batch, vgg, teacher)
+
+    tr.train_step = flaky_step
+    res = tr.fit(save_path=str(tmp_path / "run"))
+    assert np.isfinite(res["history"][-1]["loss"])
+    # steps 1, 2 applied and snapshotted; batch 3's failure rolls back to
+    # the step-2 snapshot and the retry applies it: nothing is lost.
+    assert calls["n"] == 4
+    assert int(tr.state.step) == 3
