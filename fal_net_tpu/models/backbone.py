@@ -19,10 +19,12 @@ The final iconv1 is a bias-free 3x3 conv emitting ``num_out`` plane logits.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
 
 from fal_net_tpu.models.layers import (
     ConvElu,
@@ -116,6 +118,39 @@ class FalNetBackbone(nn.Module):
     phase_deconv: bool = True  # exact phase-decomposed deconvs (2.25x fewer
     #                            FLOPs, 1.4-1.9x measured) at exact-2x
     #                            upsamples; see ops/phase_deconv.py
+    # Activation-sharding pins for 2-D ('data', 'spatial') meshes: without
+    # them, GSPMD's fwd pass replicates low-res activations over 'spatial'
+    # (H too small to split) while the bwd pass asks for an H-split of the
+    # same saved tensor, and the partitioner falls back to "involuntary
+    # full rematerialization" (replicate-then-partition) in the hot bwd
+    # path — seen at rb6 on the 4x2 dryrun mesh (MULTICHIP_r03.json).
+    # _constrain() pins every stage boundary to batch-over-data plus
+    # rows-over-spatial *only when H divides evenly*, so fwd and bwd agree.
+    mesh: Optional[jax.sharding.Mesh] = None
+    data_axis: Optional[str] = None
+    spatial_axis: Optional[str] = None
+
+    def _constrain(
+        self, x: jnp.ndarray, h_ref: Optional[int] = None
+    ) -> jnp.ndarray:
+        """``h_ref``: also require this height (e.g. a deconv's *input* H)
+        to divide the spatial axis — a spatially-sharded deconv output whose
+        input is too short to shard makes GSPMD demand a degenerate H-split
+        of the input (the involuntary-remat fallback this fix removes)."""
+        if self.mesh is None or self.data_axis is None:
+            return x
+        nsp = (
+            self.mesh.shape.get(self.spatial_axis, 1) if self.spatial_axis else 1
+        )
+        h = x.shape[-3] if h_ref is None else min(x.shape[-3], h_ref)
+        sp = self.spatial_axis if nsp > 1 and h % nsp == 0 else None
+        nd = self.mesh.shape.get(self.data_axis, 1)
+        da = self.data_axis if nd > 1 and x.shape[0] % nd == 0 else None
+        if da is None and sp is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, PartitionSpec(da, sp))
+        )
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
@@ -157,11 +192,11 @@ class FalNetBackbone(nn.Module):
             )
 
         # Encoder: 6 stride-2 stages, each followed by a residual block.
-        x = rb("rb1")(x)
-        skips = [x0, x]
+        x = self._constrain(rb("rb1")(x))
+        skips = [self._constrain(x0), x]
         for i, ch in enumerate(spec.enc[1:], start=2):
             x = ConvElu(ch, stride=2, dtype=self.dtype, name=f"conv{i}")(x)
-            x = rb(f"rb{i}")(x)
+            x = self._constrain(rb(f"rb{i}")(x))
             skips.append(x)
         # skips = [x0, x1, ..., x6]; bottleneck is skips[6] at 1/64 res.
 
@@ -173,8 +208,11 @@ class FalNetBackbone(nn.Module):
                 spec.deconv[6 - j], dtype=self.dtype,
                 phase=self.phase_deconv, name=f"deconv{j}",
             )(y, (skip.shape[-3], skip.shape[-2]))
-            y = ConvElu(spec.iconv[6 - j], dtype=self.dtype, name=f"iconv{j}")(
-                jnp.concatenate([d, skip], axis=-1)
+            d = self._constrain(d, h_ref=y.shape[-3])
+            y = self._constrain(
+                ConvElu(spec.iconv[6 - j], dtype=self.dtype, name=f"iconv{j}")(
+                    jnp.concatenate([d, skip], axis=-1)
+                )
             )
 
         # Decoder tail: deconv1 (to full res) + iconv1 are the two largest

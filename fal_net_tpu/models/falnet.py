@@ -95,6 +95,13 @@ class FalNet(nn.Module):
             s2d_stem=self.s2d_stem,
             s2d_tail=self.s2d_tail,
             phase_deconv=self.phase_deconv,
+            # Pin per-stage activation shardings on multi-device meshes so
+            # GSPMD's fwd and bwd passes agree at low-res stages (avoids the
+            # "involuntary full rematerialization" bwd fallback at rb6 on
+            # ('data', 'spatial') meshes — see FalNetBackbone._constrain).
+            mesh=self.med_mesh,
+            data_axis=self.med_axis if self.med_mesh is not None else None,
+            spatial_axis=self.med_spatial_axis,
             name="backbone",
         )(left, flow)
         # The logits conv reads the backbone dtype but emits fp32 straight

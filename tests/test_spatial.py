@@ -5,6 +5,11 @@ Checks that a forward pass with activations sharded over a
 (XLA inserts the conv halo exchanges), and that a full train step runs.
 """
 
+import os
+import subprocess
+import sys
+import textwrap
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -70,3 +75,85 @@ def test_spatial_train_step_runs(rng):
 
     state, loss = step(state, batch)
     assert np.isfinite(float(loss))
+
+
+_REMAT_SCRIPT = textwrap.dedent(
+    """
+    import os, re
+    flags = os.environ.get("XLA_FLAGS", "")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\\d+", "", flags)
+    os.environ["XLA_FLAGS"] = (
+        flags.strip() + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fal_net_tpu.parallel.mesh import replicate_sharding
+    from fal_net_tpu.parallel.spatial import make_2d_mesh
+    from fal_net_tpu.models import create_model
+    from fal_net_tpu.train.stages import stage1_loss
+    from fal_net_tpu.train.state import create_train_state
+
+    mesh = make_2d_mesh(4, 2)
+    model = create_model("tiny", 5, med_impl="fused", med_mesh=mesh,
+                         med_spatial_axis="spatial", med_interpret=True)
+    h, w, batch = 64, 128, 4
+    left = jnp.zeros((batch, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), left, 2.0, 300.0,
+                           ret_disp=True)
+    state = create_train_state(model, variables, lr=1e-4, beta1=0.5,
+                               beta2=0.999, milestones=(30, 40),
+                               lr_gamma=0.5, steps_per_epoch=100)
+    state = jax.device_put(state, replicate_sharding(mesh))
+    rng = np.random.default_rng(0)
+    sh = NamedSharding(mesh, P("data", "spatial"))
+    data = {
+        k: jax.device_put(
+            rng.standard_normal((batch, h, w, 3)).astype(np.float32) * 0.2, sh
+        )
+        for k in ("left", "right")
+    }
+
+    @jax.jit
+    def train_step(state, batch):
+        def loss_fn(params):
+            return stage1_loss(params, batch, model.apply, min_disp=2.0,
+                               max_disp=300.0, a_p=0.0, a_sm=0.2 * 2 / 512,
+                               vgg_fn=None)
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads), loss
+
+    state, loss = train_step(state, data)
+    assert np.isfinite(float(loss))
+    print("STEP_OK", float(loss))
+    """
+)
+
+
+def test_no_involuntary_remat_on_2d_mesh():
+    """VERDICT r3 #2: a full train step over the ('data','spatial') mesh
+    must compile without GSPMD's "Involuntary full rematerialization"
+    fallback (a full-tensor replication in the hot bwd path).  The H=1
+    bottleneck (rb6) used to trigger it: the fwd replicated it over
+    'spatial' while the lhs-dilated deconv6 bwd demanded a degenerate
+    H-split.  FalNetBackbone._constrain pins fwd/bwd to agree.  Run in a
+    subprocess so the XLA C++ warning (stderr) can be asserted on.
+    """
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")] if p
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", _REMAT_SCRIPT],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "STEP_OK" in proc.stdout
+    assert "Involuntary full rematerialization" not in proc.stderr, (
+        "SPMD replicate-then-partition fallback is back:\n"
+        + proc.stderr[-3000:]
+    )
