@@ -157,7 +157,7 @@ def main(argv=None) -> None:
         val_dataset=val_dataset,
     )
     result = trainer.fit()
-    print("best rmse:", result["best_rmse"])
+    print(f"best {result['best_metric']}:", result["best_value"])
 
 
 if __name__ == "__main__":

@@ -1,11 +1,14 @@
 """Checkpoint IO.
 
 Native format: flax msgpack bytes + a JSON sidecar with
-``{step, epoch, model_name, num_levels, best_rmse}`` — the reference's
-checkpoint payload (Train_Stage1_K.py:202-207) plus optimizer state (a
-documented reference gap).  ``model_best`` copy semantics preserved: best =
-lowest view-synthesis RMSE on the validation set, not best depth metric
-(Train_Stage1_K.py:191-207).
+``{step, epoch, model_name, num_levels, best_metric, best_value}`` — the
+reference's checkpoint payload (Train_Stage1_K.py:202-207) plus optimizer
+state (a documented reference gap).  ``model_best`` copy semantics
+preserved: best = lowest view-synthesis RMSE on the validation set, not
+best depth metric (Train_Stage1_K.py:191-207); the reference-compatible
+``best_rmse`` key is written only when the selection metric really is that
+RMSE (with no val set, selection falls back to the epoch train loss and
+the sidecar says ``best_metric: train_loss``).
 
 Reference ``*.pth.tar`` checkpoints load transparently through
 :mod:`fal_net_tpu.models.torch_import`.

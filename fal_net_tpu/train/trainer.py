@@ -312,7 +312,15 @@ class Trainer:
         dump_settings(save_path, cfg)
         self.logger = MetricsLogger(save_path)
 
-        best_rmse = -1.0
+        # Checkpoint selection: the reference picks model_best on the
+        # KITTI-2015 view-synthesis RMSE (Train_Stage1_K.py:191-207).  With
+        # no val dataset we fall back to the epoch train loss — a different
+        # metric, so the checkpoint meta names it honestly (best_metric)
+        # instead of calling a loss an RMSE; epochs where val_freq skips
+        # validation don't update "best" (mixing metrics would make "best"
+        # meaningless).
+        best_metric = "rmse" if self.val_dataset is not None else "train_loss"
+        best_value = -1.0
         history = []
         for epoch in range(cfg.start_epoch, cfg.epochs):
             train_metrics = self.train_epoch(epoch, save_path)
@@ -320,24 +328,41 @@ class Trainer:
             if self.val_dataset is not None and (epoch % cfg.val_freq == 0):
                 val_metrics = self.validate(self.val_dataset, epoch)
                 self.logger.scalars(epoch, val_metrics, prefix="val/")
-            rmse = val_metrics.get("rmse", train_metrics.get("loss", 0.0))
-            is_best = best_rmse < 0 or rmse < best_rmse
-            best_rmse = min(rmse, best_rmse) if best_rmse >= 0 else rmse
+            if best_metric == "rmse":
+                candidate = val_metrics.get("rmse")  # None on skipped epochs
+            else:
+                candidate = train_metrics.get("loss", 0.0)
+            is_best = candidate is not None and (
+                best_value < 0 or candidate < best_value
+            )
+            if is_best:
+                best_value = candidate
+            meta = {
+                "epoch": epoch,
+                "step": int(self.state.step),
+                "model_name": self.model.spec.torch_name,
+                "num_levels": self.model.num_levels,
+                "best_metric": best_metric,
+                "best_value": best_value,
+                "stage": self.stage,
+            }
+            if best_metric == "rmse":
+                # reference-compatible key, only when it really is the RMSE
+                meta["best_rmse"] = best_value
             save_checkpoint(
                 save_path,
                 jax.device_get(self.state),
-                meta={
-                    "epoch": epoch,
-                    "step": int(self.state.step),
-                    "model_name": self.model.spec.torch_name,
-                    "num_levels": self.model.num_levels,
-                    "best_rmse": best_rmse,
-                    "stage": self.stage,
-                },
+                meta=meta,
                 is_best=is_best,
             )
             history.append({"epoch": epoch, **train_metrics, **val_metrics})
-        return {"best_rmse": best_rmse, "history": history}
+        return {
+            "best_metric": best_metric,
+            "best_value": best_value,
+            # legacy alias (cli/train prints it; only an RMSE when val ran)
+            "best_rmse": best_value,
+            "history": history,
+        }
 
     def train_epoch(self, epoch: int, save_path: Optional[str] = None) -> Dict[str, float]:
         cfg = self.cfg
