@@ -21,6 +21,20 @@ import jax  # noqa: E402
 # virtual 8-device CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall-time is dominated by
+# recompiling the same tiny models/steps across test processes; warm-cache
+# reruns skip that entirely.  Disable with FALNET_TEST_COMPILE_CACHE=0
+# (e.g. when timing compilation itself); point it elsewhere by setting the
+# same variable to a directory.
+_cache_dir = os.environ.get(
+    "FALNET_TEST_COMPILE_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+if _cache_dir != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
