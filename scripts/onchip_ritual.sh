@@ -31,6 +31,8 @@ timeout 5400 python bench.py || exit 1
 if [ "$MODE" = "full" ]; then
     step "Mosaic kernel numerics (verify_tpu)"
     timeout 1800 python scripts/verify_tpu.py || exit 1
+    step "FAL_netA / FAL_netC on-chip (verify_variants_tpu)"
+    timeout 2400 python scripts/verify_variants_tpu.py || exit 1
     step "stage-1 on-chip convergence (verify_train_tpu)"
     timeout 2400 python scripts/verify_train_tpu.py || exit 1
     step "stage-2 on-chip convergence (verify_train_stage2_tpu)"

@@ -1,0 +1,134 @@
+"""On-TPU verification for FAL_netA and FAL_netC (VERDICT r3 #4).
+
+bench/verify_tpu/convergence scripts all exercise variant B; A (N=33,
+separable k x 1 / 1 x k residuals, maskR quirk flag) and C (wide encoder,
+'synth' checkpoint prefix) are CPU-parity-tested but had never run through
+Mosaic on a real chip.  This script, per variant:
+
+  * fused Pallas MED kernel numerics at the variant's plane count (N=33)
+    vs the jnp oracle, ON CHIP (verify_tpu.py covers only N=49);
+  * a full jitted forward (disp+pan+subocc through the fused head) at the
+    384x1280 headline shape — finiteness + imgs/s at batch 1 and 8;
+  * for A: the a_maskr_quirk=True path (reference FAL_netA.py:264
+    align_corners-less maskR warp, jnp MED path) runs on chip and differs
+    from the default path on maskR only.
+
+Run as part of `onchip_ritual.sh full`:  python scripts/verify_variants_tpu.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fal_net_tpu.models import create_model
+from fal_net_tpu.ops.med import med_outputs
+from fal_net_tpu.ops.med_pallas import med_outputs_fused
+
+
+def chained_fwd_ms(model, variables, left, iters=8):
+    """Median-of-3 per-iteration latency with a device-side data dependency
+    between iterations (a per-call host sync costs ~28 ms through this
+    relay — see CLAUDE.md timing rules)."""
+
+    @jax.jit
+    def chained(lf):
+        def body(_, carry):
+            lf, acc = carry
+            out = model.apply(variables, lf, 2.0, 300.0,
+                              ret_disp=True, ret_pan=True)
+            acc = acc + jnp.sum(out.disp) + jnp.sum(out.pan)
+            return lf + 1e-12 * acc, acc
+
+        return jax.lax.fori_loop(0, iters, body, (lf, jnp.float32(0)))[1]
+
+    float(chained(left))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(chained(left))
+        best = min(best, time.time() - t0)
+    return best / iters * 1000
+
+
+def check_med_numerics(n_levels: int) -> bool:
+    """Fused Mosaic kernel vs jnp oracle at this variant's plane count."""
+    b, h, w = 1, 384, 1280
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((b, h, w, n_levels)).astype(np.float32))
+    image = jnp.asarray(rng.standard_normal((b, h, w, 3)).astype(np.float32))
+    kw = dict(ret_disp=True, ret_pan=True, ret_subocc=True)
+    ref = jax.jit(lambda lg, im: med_outputs(lg, im, 2.0, 300.0, **kw))(logits, image)
+    fus = jax.jit(lambda lg, im: med_outputs_fused(lg, im, 2.0, 300.0, **kw))(logits, image)
+    ok = True
+    for name, tol in [("disp", 2e-3), ("pan", 5e-3), ("maskL", 2e-3), ("maskR", 2e-3)]:
+        d = float(np.abs(np.asarray(getattr(fus, name)) - np.asarray(getattr(ref, name))).max())
+        ok &= d < tol
+        print(f"  {'OK ' if d < tol else 'FAIL'} N={n_levels} {name:6s} "
+              f"maxdiff {d:.2e} (tol {tol:.0e})")
+    return ok
+
+
+def check_variant(variant: str) -> bool:
+    print(f"--- FAL_net{variant} ---")
+    model = create_model(variant)  # default levels (A/C: 33)
+    n = model.num_levels
+    h, w = 384, 1280
+    rng = np.random.default_rng(1)
+    left1 = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32) * 0.2)
+    variables = model.init(jax.random.PRNGKey(0), left1, 2.0, 300.0, ret_disp=True)
+
+    ok = check_med_numerics(n)
+
+    out = jax.jit(
+        lambda v, x: model.apply(v, x, 2.0, 300.0, ret_disp=True,
+                                 ret_pan=True, ret_subocc=True)
+    )(variables, left1)
+    fields = {f: np.asarray(getattr(out, f)) for f in ("disp", "pan", "maskL", "maskR")}
+    finite = all(np.isfinite(v).all() for v in fields.values())
+    in_range = bool((fields["disp"] >= 0).all() and (fields["disp"] <= 300.0 + 1e-3).all())
+    ok &= finite and in_range
+    print(f"  {'OK ' if finite and in_range else 'FAIL'} forward finite + disp in range "
+          f"(disp mean {fields['disp'].mean():.2f})")
+
+    ms1 = chained_fwd_ms(model, variables, left1)
+    left8 = jnp.asarray(rng.standard_normal((8, h, w, 3)).astype(np.float32) * 0.2)
+    ms8 = chained_fwd_ms(model, variables, left8)
+    print(f"  fwd 384x1280 b1 {ms1:7.2f} ms  ({1000 / ms1:6.1f} imgs/s)")
+    print(f"  fwd 384x1280 b8 {ms8:7.2f} ms  ({8000 / ms8:6.1f} imgs/s)")
+
+    if variant == "A":
+        # quirk path (jnp MED, reference-exact maskR resample) on chip
+        model_q = create_model("A", a_maskr_quirk=True)
+        out_q = jax.jit(
+            lambda v, x: model_q.apply(v, x, 2.0, 300.0, ret_disp=True,
+                                       ret_pan=True, ret_subocc=True)
+        )(variables, left1)
+        mq = np.asarray(out_q.maskR)
+        q_ok = (
+            np.isfinite(mq).all()
+            and np.abs(mq - fields["maskR"]).max() > 1e-4  # quirk really differs
+            and np.abs(np.asarray(out_q.disp) - fields["disp"]).max() < 2e-3
+        )
+        ok &= bool(q_ok)
+        print(f"  {'OK ' if q_ok else 'FAIL'} a_maskr_quirk: maskR differs "
+              f"(max {np.abs(mq - fields['maskR']).max():.3f}), disp unchanged")
+    return ok
+
+
+def main() -> int:
+    print("devices:", jax.devices())
+    ok = True
+    for variant in ("A", "C"):
+        ok &= check_variant(variant)
+    print("VERIFY VARIANTS:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
