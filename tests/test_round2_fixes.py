@@ -165,7 +165,7 @@ def test_cli_slow_default_batch_size(monkeypatch, tmp_path):
             captured["stage"] = stage
 
         def fit(self):
-            return {"best_rmse": 0.0}
+            return {"best_metric": "train_loss", "best_value": 0.0}
 
     monkeypatch.setattr(cli_train, "Trainer", FakeTrainer)
     cli_train.main(["--stage", "1", "--slow", "--data_root", str(tmp_path)])
