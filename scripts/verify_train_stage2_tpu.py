@@ -29,8 +29,11 @@ equivalents live in tests/test_stages.py / tests/test_train.py).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
