@@ -36,9 +36,20 @@ PEAK_TF = 197.0  # v5e bf16 MXU peak (bench.py); fp32 convs run the MXU in
 #                  single-pass bf16 at default precision (CLAUDE.md round-2)
 
 
-def time_fn(fn, *args, iters=8, repeats=3):
+def time_fn(fn, *args, lo=8, hi=72, repeats=3):
+    """Per-iteration seconds by the SLOPE method.
+
+    A single relay round-trip costs ~30 ms host-side (CLAUDE.md), so at
+    iters=8 every layer reads >=3.7 ms/iter no matter how small it is —
+    the first version of this probe measured 171 ms summed standalone
+    layers for a forward that takes 40 ms end-to-end.  Instead make the
+    chain length a *traced* argument (one compile), run the same program
+    at two lengths, and take (T_hi - T_lo) / (hi - lo): the fixed
+    dispatch/sync cost cancels exactly.
+    """
+
     @jax.jit
-    def chained(*a):
+    def chained(n, *a):
         def body(_, carry):
             x, acc = carry
             out = fn(x, *a[1:])
@@ -47,17 +58,23 @@ def time_fn(fn, *args, iters=8, repeats=3):
             return x, acc
 
         x, acc = jax.lax.fori_loop(
-            0, iters, body, (a[0], jnp.zeros((), jnp.float32))
+            0, n, body, (a[0], jnp.zeros((), jnp.float32))
         )
         return acc
 
-    float(chained(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(chained(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+    float(chained(lo, *args))  # compile once (n is dynamic)
+    float(chained(hi, *args))
+
+    def best(n):
+        b = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(chained(n, *args))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    slope = (best(hi) - best(lo)) / (hi - lo)
+    return max(slope, 1e-6)  # clamp: relay jitter can drive tiny layers <0
 
 
 def pad128(c):
@@ -167,8 +184,8 @@ def main() -> int:
     total_ms = sum(r["ms"] for r in rows)
     total_floor = sum(r["floor_ms"] for r in rows)
     total_gmac = sum(r["gmac"] for r in rows)
-    print(f"\nsum measured (standalone, ~3.7ms relay floor each at iters=8): "
-          f"{total_ms:.1f} ms")
+    print(f"\nsum measured (standalone, slope-timed — dispatch floor "
+          f"cancelled): {total_ms:.1f} ms")
     print(f"sum conv-bound floors: {total_floor:.1f} ms "
           f"({2 * total_gmac / total_floor:.0f} TF/s effective)")
     print(f"raw-peak floor (all FLOPs at {PEAK_TF:.0f} TF/s): "
