@@ -118,6 +118,10 @@ class FalNetBackbone(nn.Module):
     phase_deconv: bool = True  # exact phase-decomposed deconvs (2.25x fewer
     #                            FLOPs, 1.4-1.9x measured) at exact-2x
     #                            upsamples; see ops/phase_deconv.py
+    split_fuse: bool = False  # decoder fuse convs as split-sum (one conv
+    #   per concat part over the matching kernel slice, summed) when every
+    #   part keeps >=128 real input lanes — skips materializing the concat
+    #   in HBM; exact up to fp reassociation (probe_concat_conv.py)
     # Activation-sharding pins for 2-D ('data', 'spatial') meshes: without
     # them, GSPMD's fwd pass replicates low-res activations over 'spatial'
     # (H too small to split) while the bwd pass asks for an H-split of the
@@ -209,11 +213,11 @@ class FalNetBackbone(nn.Module):
                 phase=self.phase_deconv, name=f"deconv{j}",
             )(y, (skip.shape[-3], skip.shape[-2]))
             d = self._constrain(d, h_ref=y.shape[-3])
-            y = self._constrain(
-                ConvElu(spec.iconv[6 - j], dtype=self.dtype, name=f"iconv{j}")(
-                    jnp.concatenate([d, skip], axis=-1)
-                )
-            )
+            fuse = ConvElu(spec.iconv[6 - j], dtype=self.dtype, name=f"iconv{j}")
+            if self.split_fuse and d.shape[-1] >= 128 and skip.shape[-1] >= 128:
+                y = self._constrain(fuse((d, skip)))
+            else:
+                y = self._constrain(fuse(jnp.concatenate([d, skip], axis=-1)))
 
         # Decoder tail: deconv1 (to full res) + iconv1 are the two largest
         # low-channel full-resolution convs in the net — run them in the

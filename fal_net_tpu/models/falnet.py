@@ -58,6 +58,9 @@ class FalNet(nn.Module):
     s2d_tail: bool = False  # measured slower at batch 8; kept selectable
     phase_deconv: bool = True  # exact phase-decomposed decoder deconvs
     #                            (1.4-1.9x measured, ops/phase_deconv.py)
+    split_fuse: bool = False  # decoder fuse convs in split-sum form where
+    #                           every concat part keeps >=128 input lanes
+    #                           (see FalNetBackbone.split_fuse)
     # Batch-data-parallel fused head: with a mesh whose med_axis size > 1,
     # the fused MED kernel runs per-device via shard_map (pallas_call has
     # no SPMD rule; without this, sharded runs lose the 1.85x fused head).
@@ -95,6 +98,7 @@ class FalNet(nn.Module):
             s2d_stem=self.s2d_stem,
             s2d_tail=self.s2d_tail,
             phase_deconv=self.phase_deconv,
+            split_fuse=self.split_fuse,
             # Pin per-stage activation shardings on multi-device meshes so
             # GSPMD's fwd and bwd passes agree at low-res stages (avoids the
             # "involuntary full rematerialization" bwd fallback at rb6 on
@@ -190,6 +194,7 @@ def create_model(
     s2d_stem: bool = True,
     s2d_tail: bool = False,
     phase_deconv: bool = True,
+    split_fuse: bool = False,
     med_mesh: Optional[jax.sharding.Mesh] = None,
     med_axis: str = "data",
     med_spatial_axis: Optional[str] = None,
@@ -215,6 +220,7 @@ def create_model(
         s2d_stem=s2d_stem,
         s2d_tail=s2d_tail,
         phase_deconv=phase_deconv,
+        split_fuse=split_fuse,
         med_mesh=med_mesh,
         med_axis=med_axis,
         med_spatial_axis=med_spatial_axis,

@@ -89,8 +89,44 @@ class ConvOp(nn.Module):
     out_dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
         kh, kw = self.kernel_size
+        if isinstance(x, (tuple, list)):
+            # Split-sum form of conv(concat(parts)): one conv per part over
+            # the matching input-channel slice of the SAME canonical kernel,
+            # summed.  Algebraically identical (fp reassociation only) to
+            # concatenating first, but skips materializing the concat in
+            # HBM.  Pays only when every part keeps >=128 real input lanes
+            # (measured: scripts/probe_concat_conv.py).
+            assert self.domain == "plain" and self.stride == 1
+            assert self.out_dtype is None, "out_dtype not plumbed for split"
+            parts = [p.astype(self.dtype) for p in x]
+            cin = sum(p.shape[-1] for p in parts)
+            kernel = self.param(
+                "kernel", kaiming_normal, (kh, kw, cin, self.features)
+            ).astype(self.dtype)
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias
+                else None
+            )
+            padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+            y = None
+            off = 0
+            for p in parts:
+                c = p.shape[-1]
+                contrib = jax.lax.conv_general_dilated(
+                    p,
+                    jax.lax.slice_in_dim(kernel, off, off + c, axis=2),
+                    (1, 1),
+                    padding,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                y = contrib if y is None else y + contrib
+                off += c
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
         cin = x.shape[-1] // 4 if self.domain == "s2d" else x.shape[-1]
         kernel = self.param("kernel", kaiming_normal, (kh, kw, cin, self.features))
         bias = (

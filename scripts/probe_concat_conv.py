@@ -35,9 +35,13 @@ B = 8
 DN = ("NHWC", "HWIO", "NHWC")
 
 
-def time_fn(fn, *args, iters=8, repeats=3):
+def time_fn(fn, *args, lo=8, hi=72, repeats=3):
+    """Per-iteration ms by the slope method (see probe_roofline.py): chain
+    length is a traced arg, two run lengths, the slope cancels the ~30 ms
+    relay dispatch cost that floors every naive sub-5 ms measurement."""
+
     @jax.jit
-    def chained(*a):
+    def chained(n, *a):
         def body(_, carry):
             x, acc = carry
             out = fn(x, *a[1:])
@@ -46,17 +50,22 @@ def time_fn(fn, *args, iters=8, repeats=3):
             return x, acc
 
         x, acc = jax.lax.fori_loop(
-            0, iters, body, (a[0], jnp.zeros((), jnp.float32))
+            0, n, body, (a[0], jnp.zeros((), jnp.float32))
         )
         return acc
 
-    float(chained(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(chained(*args))
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3
+    float(chained(lo, *args))
+    float(chained(hi, *args))
+
+    def best(n):
+        b = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(chained(n, *args))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    return max((best(hi) - best(lo)) / (hi - lo), 1e-9) * 1e3
 
 
 def conv(x, k):

@@ -111,3 +111,33 @@ def test_all_outputs_shapes(rng):
     assert out.pan.shape == (2, 32, 64, 3)
     assert out.maskL.shape == (2, 32, 64, 1)
     assert out.maskR.shape == (2, 32, 64, 1)
+
+
+def test_split_fuse_matches_concat(rng):
+    """split_fuse computes the decoder fuses as per-part convs over slices
+    of the SAME kernel (layers.py ConvOp tuple path) — identical params,
+    output equal up to fp reassociation.  Gradients must flow through the
+    sliced kernel exactly like through the concatenated input."""
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))
+    m0 = create_model("B", med_impl="reference")
+    m1 = create_model("B", med_impl="reference", split_fuse=True)
+    variables = m0.init(jax.random.PRNGKey(0), x, 2.0, 300.0)
+    d0 = m0.apply(variables, x, 2.0, 300.0).disp
+    d1 = m1.apply(variables, x, 2.0, 300.0).disp
+    # disp spans [2, 300] px; reassociation through softmax-expectation
+    # stays well under a hundredth of a pixel
+    assert float(jnp.abs(d0 - d1).max()) < 1e-2
+
+    def loss(fn):
+        def f(v):
+            return jnp.sum(fn.apply(v, x, 2.0, 300.0).disp ** 2) * 1e-6
+        return f
+
+    from jax.flatten_util import ravel_pytree
+
+    g0 = jax.grad(loss(m0))(variables)
+    g1 = jax.grad(loss(m1))(variables)
+    flat0, _ = ravel_pytree(g0)
+    flat1, _ = ravel_pytree(g1)
+    scale = float(jnp.abs(flat0).max())
+    assert float(jnp.abs(flat0 - flat1).max()) < 1e-3 * max(scale, 1.0)
