@@ -54,6 +54,7 @@ def tree(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_then_eval_cli(tree, tmp_path):
     run_dir = tmp_path / "run"
     cli_train.main([
@@ -134,6 +135,7 @@ def test_convert_reference_checkpoint(tmp_path, tree):
     assert (tmp_path / "eval2" / "errors.txt").exists()
 
 
+@pytest.mark.slow
 def test_north_star_runbook_smoke(tmp_path):
     """The README's north-star runbook command path, end-to-end on a
     synthetic KITTI-raw tree: checkpoint -> cli.test on
@@ -347,6 +349,7 @@ def test_train_cli_resume(tree, tmp_path, monkeypatch):
     assert all(m["epoch"] < 2 for m in metas)  # and only epoch 1
 
 
+@pytest.mark.slow
 def test_selfcheck_cli_passes():
     """falnet-selfcheck validates an install end-to-end (backend, forward
     bounds, fused-kernel numerics vs the jnp oracle, one train step);

@@ -34,6 +34,7 @@ def _reference_model():
     return model
 
 
+@pytest.mark.slow
 def test_torch_ckpt_to_artifact_to_infer(tmp_path):
     ref = _reference_model()
 

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -80,6 +81,7 @@ def test_evaluator_kitti2015_metrics(tmp_path):
     assert mj["n_images"] == 2 and np.isclose(mj["abs_rel"], metrics["abs_rel"])
 
 
+@pytest.mark.slow
 def test_batched_eval_metric_identity(tmp_path):
     """Bucketed batch-N evaluation produces the same metrics as the
     reference-shaped batch-1 loop (VERDICT round-2 item 1 done-criterion):
@@ -102,6 +104,7 @@ def test_batched_eval_metric_identity(tmp_path):
         np.testing.assert_allclose(m2[k], m1[k], rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_decode_prefetch_metric_identity(tmp_path):
     """Background prefetch-decode (decode_workers>0) consumes samples
     strictly in dataset order, so metrics are IDENTICAL (==, not allclose)

@@ -139,6 +139,7 @@ def test_train_step_rollback_after_donation_loss(tmp_path):
 
 
 @pytest.mark.parametrize("mesh_kind", ["data8", "data2_spatial4"])
+@pytest.mark.slow
 def test_rollback_bitexact_vs_uninterrupted_on_mesh(tmp_path, mesh_kind):
     """VERDICT r3 #3: snapshot rollback must work — and reproduce the
     uninterrupted run bit-for-bit — when the donated train state lives
@@ -213,6 +214,7 @@ def test_relay_retries_zero_fails_fast(tmp_path):
 # Evaluator: re-dispatch from the resident device input
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_evaluator_redispatch_on_transient_fetch(tmp_path):
     from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
     from tests.test_evaluate import SyntheticEval, _make_model

@@ -19,6 +19,8 @@ from fal_net_tpu.models import create_model
 from fal_net_tpu.models.torch_import import convert_state_dict
 from tests.test_med import torch_med_reference
 
+pytestmark = pytest.mark.torch_parity
+
 torch = pytest.importorskip("torch")
 
 

@@ -25,6 +25,8 @@ from fal_net_tpu.models.torch_import import convert_state_dict
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
+pytestmark = [pytest.mark.slow, pytest.mark.torch_parity]
+
 if "/root/reference" not in sys.path:
     sys.path.insert(0, "/root/reference")
 

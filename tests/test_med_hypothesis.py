@@ -23,6 +23,8 @@ from fal_net_tpu.ops.med import (
 )
 from fal_net_tpu.ops.shift import hshift
 
+pytestmark = pytest.mark.slow  # hypothesis property sweeps
+
 SET = dict(max_examples=15, deadline=None)
 
 

@@ -46,6 +46,7 @@ def _count_params(tree):
 
 
 @pytest.mark.parametrize("variant,num_levels", [("A", 33), ("B", 49), ("C", 33)])
+@pytest.mark.slow
 def test_param_count_parity(variant, num_levels):
     ref = _load_reference_model(variant, num_levels)
     ref_count = sum(p.numel() for p in ref.parameters())
@@ -100,6 +101,7 @@ def test_registry_names():
         assert m.num_levels == VARIANTS[name[-1]].default_levels
 
 
+@pytest.mark.slow
 def test_all_outputs_shapes(rng):
     model = create_model("B", 9)
     x = jnp.asarray(rng.standard_normal((2, 32, 64, 3)).astype(np.float32))
@@ -113,6 +115,7 @@ def test_all_outputs_shapes(rng):
     assert out.maskR.shape == (2, 32, 64, 1)
 
 
+@pytest.mark.slow
 def test_split_fuse_matches_concat(rng):
     """split_fuse computes the decoder fuses as per-part convs over slices
     of the SAME kernel (layers.py ConvOp tuple path) — identical params,

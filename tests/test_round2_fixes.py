@@ -213,6 +213,7 @@ def test_med_negative_bounds_parity(rng):
     np.testing.assert_allclose(to_nchw(got.maskR), want_mr, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stage1_per_sample_bounds(rng):
     """stage1_loss with a per-sample max_disp batch entry equals the average
     of scalar-bounds per-sample losses (mixed +/- signs exercised)."""
@@ -398,6 +399,7 @@ def test_create_model_exposes_s2d_flags():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_bf16_logits_boundary_fp32_and_close():
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((1, 16, 32, 3)), jnp.float32
@@ -415,6 +417,7 @@ def test_bf16_logits_boundary_fp32_and_close():
     )
 
 
+@pytest.mark.slow
 def test_bf16_training_grads_flow():
     """The mixed-dtype logits conv (bf16 in, fp32 accum out) must be
     differentiable: JAX's builtin conv transpose rule rejects it, so

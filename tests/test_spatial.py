@@ -11,6 +11,7 @@ import sys
 import textwrap
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -18,6 +19,7 @@ from fal_net_tpu.models import create_model
 from fal_net_tpu.parallel.spatial import image_sharding, make_2d_mesh, replicated
 
 
+@pytest.mark.slow
 def test_spatial_forward_matches_unsharded(rng):
     mesh = make_2d_mesh(2, 4)
     model = create_model("tiny", 5, med_impl="reference")
@@ -43,6 +45,7 @@ def test_spatial_forward_matches_unsharded(rng):
     assert got_disp.sharding.is_equivalent_to(image_sharding(mesh), ndim=4)
 
 
+@pytest.mark.slow
 def test_spatial_train_step_runs(rng):
     from fal_net_tpu.train.stages import stage1_loss
     from fal_net_tpu.train.state import create_train_state
@@ -133,6 +136,7 @@ _REMAT_SCRIPT = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_no_involuntary_remat_on_2d_mesh():
     """VERDICT r3 #2: a full train step over the ('data','spatial') mesh
     must compile without GSPMD's "Involuntary full rematerialization"

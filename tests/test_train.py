@@ -72,6 +72,7 @@ def test_stage1_train_steps_decrease_loss(tmp_path):
     assert os.path.isfile(tmp_path / "run" / "settings.txt")
 
 
+@pytest.mark.slow
 def test_stage1_random_vgg_perceptual_converges(tmp_path):
     """VERDICT r3 #8: exercise the perceptual-loss gradient path end-to-end
     in CI — a_p>0 with --allow_random_vgg (frozen random-init VGG19
@@ -109,6 +110,7 @@ def test_best_checkpoint_metric_named_honestly(tmp_path):
     assert meta["best_value"] == res["best_value"]
 
 
+@pytest.mark.slow
 def test_stage1_slow(tmp_path):
     cfg = Stage1Config(**_tiny_cfg(batch_size=4), slow=True)
     tr = Trainer(cfg, stage="stage1_slow", mesh=make_mesh(4), train_dataset=SyntheticStereo(n=8))
@@ -157,6 +159,7 @@ def test_batch_shards_over_mesh():
     assert sharded["left"].addressable_shards[0].data.shape == (1, 4, 8, 3)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_full_batch(tmp_path):
     """grad_accum=N applies the mean of N microbatch grads — the same
     update as the full batch (losses are batch means), up to fp
@@ -181,6 +184,7 @@ def test_grad_accum_matches_full_batch(tmp_path):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_stage2_on_2d_spatial_mesh(tmp_path):
     """Stage-2 (frozen teacher + student + masks + mirror) over a 2-D
     dp x sp mesh: conv halo exchanges come from the SPMD partitioner; the
@@ -206,6 +210,7 @@ def test_stage2_on_2d_spatial_mesh(tmp_path):
     assert np.isfinite(res["history"][0]["loss"])
 
 
+@pytest.mark.slow
 def test_profiler_trace_capture(tmp_path):
     """cfg.profile_steps captures an XLA/host profiler trace of the first
     epoch's steps [1, 1+N) into <save_path>/profile (the reference's only
@@ -224,6 +229,7 @@ def test_profiler_trace_capture(tmp_path):
     assert files, "profiler trace directory is empty"
 
 
+@pytest.mark.slow
 def test_default_run_dir_matches_reference_layout(tmp_path):
     """fit() with no save_path lays runs out exactly like the reference
     (Train_Stage1_K.py:92-103):
