@@ -100,12 +100,14 @@ def main() -> None:
     mfu = (flops / batch) * value / V5E_PEAK_FLOPS if flops else 0.0
 
     # Secondary: the measured best-throughput serving config (bf16 backbone,
-    # batch 32 — fp32 disparity output either way).  The fp32 b8 headline
-    # stays for round-over-round comparability.
-    bf16_batch = 32
+    # batch 48 — fp32 disparity output either way).  The round-4 batch sweep
+    # (scripts/probe_batch_sweep.py): bf16 237.7 b32 / 244.1 b48 / OOM b56+
+    # (the s2d-stem transpose pads 4x in HBM); fp32 peaks at b24 (225.4).
+    # The fp32 b8 headline stays for round-over-round comparability.
+    bf16_batch = 48
     model_bf16 = create_model("B", 49, dtype=jnp.bfloat16)
-    left32 = jnp.concatenate([left] * (bf16_batch // batch))
-    best_bf16 = _time_chained(model_bf16, variables, left32, iters=iters)
+    left_bf16 = jnp.concatenate([left] * (bf16_batch // batch))
+    best_bf16 = _time_chained(model_bf16, variables, left_bf16, iters=iters)
     bf16_value = iters * bf16_batch / best_bf16
 
     print(
