@@ -113,6 +113,12 @@ class FalNetBackbone(nn.Module):
     num_out: int
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = True
+    stem_input_fuse: bool = False  # fuse space_to_depth INTO conv0 (one
+    #   stride-2 4x4 conv over the raw image, ops/s2d.py::conv_s2d_input)
+    #   and run conv1 as a split-sum (phase-domain x0_s part + raw full-res
+    #   flow part) — exact up to fp reassociation, and never materializes
+    #   s2d(image), s2d(flow) or the 33-channel lane-padded concat in HBM
+    #   (the s2d(image) transpose copy was the bf16 b56+ OOM driver).
     s2d_tail: bool = False  # measured slower at batch 8 (4x redundant FLOPs
     #                         outweigh lane utilization once M is large)
     phase_deconv: bool = True  # exact phase-decomposed deconvs (2.25x fewer
@@ -179,16 +185,28 @@ class FalNetBackbone(nn.Module):
             if pad_h or pad_w:
                 image = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
                 flow = jnp.pad(flow, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-            img_s = space_to_depth(image)
-            x0_s = ConvElu(32, dtype=self.dtype, domain="s2d", name="conv0")(
-                img_s, mask
-            )
+            if self.stem_input_fuse:
+                x0_s = ConvElu(
+                    32, dtype=self.dtype, domain="s2d_input", name="conv0"
+                )(image, mask)
+            else:
+                img_s = space_to_depth(image)
+                x0_s = ConvElu(32, dtype=self.dtype, domain="s2d", name="conv0")(
+                    img_s, mask
+                )
             x0_s = rb("rb0", "s2d")(x0_s, mask)
             x0 = depth_to_space(x0_s)[:, :h, :w, :]
-            cat_s = concat_s2d([x0_s, space_to_depth(flow.astype(x0.dtype))])
-            x = ConvElu(
-                spec.enc[0], stride=2, dtype=self.dtype, domain="s2d", name="conv1"
-            )(cat_s)
+            if self.stem_input_fuse:
+                x = ConvElu(
+                    spec.enc[0], stride=2, dtype=self.dtype, domain="s2d",
+                    name="conv1",
+                )((x0_s, flow.astype(x0.dtype)))
+            else:
+                cat_s = concat_s2d([x0_s, space_to_depth(flow.astype(x0.dtype))])
+                x = ConvElu(
+                    spec.enc[0], stride=2, dtype=self.dtype, domain="s2d",
+                    name="conv1",
+                )(cat_s)
         else:
             x0 = rb("rb0")(ConvElu(32, dtype=self.dtype, name="conv0")(image))
             x = ConvElu(spec.enc[0], stride=2, dtype=self.dtype, name="conv1")(

@@ -55,6 +55,9 @@ class FalNet(nn.Module):
     # 'auto': fused Pallas MED head on TPU, jnp reference path elsewhere.
     med_impl: str = "auto"  # 'auto' | 'fused' | 'reference'
     s2d_stem: bool = True  # phase-domain full-res stem (+17%, ops/s2d.py)
+    stem_input_fuse: bool = False  # fuse s2d INTO conv0/conv1 — skips the
+    #   s2d(image)/s2d(flow)/concat HBM copies (bf16 b56+ OOM driver); see
+    #   FalNetBackbone.stem_input_fuse
     s2d_tail: bool = False  # measured slower at batch 8; kept selectable
     phase_deconv: bool = True  # exact phase-decomposed decoder deconvs
     #                            (1.4-1.9x measured, ops/phase_deconv.py)
@@ -96,6 +99,7 @@ class FalNet(nn.Module):
             num_out=self.num_levels,
             dtype=self.dtype,
             s2d_stem=self.s2d_stem,
+            stem_input_fuse=self.stem_input_fuse,
             s2d_tail=self.s2d_tail,
             phase_deconv=self.phase_deconv,
             split_fuse=self.split_fuse,
@@ -192,6 +196,7 @@ def create_model(
     dtype: jnp.dtype = jnp.float32,
     med_impl: str = "auto",
     s2d_stem: bool = True,
+    stem_input_fuse: bool = False,
     s2d_tail: bool = False,
     phase_deconv: bool = True,
     split_fuse: bool = False,
@@ -218,6 +223,7 @@ def create_model(
         dtype=dtype,
         med_impl=med_impl,
         s2d_stem=s2d_stem,
+        stem_input_fuse=stem_input_fuse,
         s2d_tail=s2d_tail,
         phase_deconv=phase_deconv,
         split_fuse=split_fuse,

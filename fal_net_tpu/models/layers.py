@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from fal_net_tpu.ops.resize import resize_nearest_torch
-from fal_net_tpu.ops.s2d import conv_s2d_s1, conv_s2d_s2, mask_pad_phases
+from fal_net_tpu.ops.s2d import (
+    conv_s2d_input,
+    conv_s2d_s1,
+    conv_s2d_s2,
+    mask_pad_phases,
+)
 
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
@@ -84,13 +89,53 @@ class ConvOp(nn.Module):
     kernel_size: Tuple[int, int] = (3, 3)
     stride: int = 1
     use_bias: bool = True
-    domain: str = "plain"  # 'plain' | 's2d' | 'up2'
+    domain: str = "plain"  # 'plain' | 's2d' | 's2d_input' | 'up2'
     dtype: jnp.dtype = jnp.float32
     out_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
         kh, kw = self.kernel_size
+        if isinstance(x, (tuple, list)) and self.domain == "s2d":
+            # Stem conv1 fuse: split-sum of one phase-domain part (x0_s)
+            # plus raw FULL-RES parts (the flow plane).  Equals the stride-2
+            # conv over the full-res concat (fp reassociation only), but
+            # never materializes s2d(flow) or the lane-padded concat in HBM
+            # (the 33-channel concat pads to 128+ lanes at stem size — the
+            # single largest intermediate of the forward).
+            assert self.stride == 2 and (kh, kw) == (3, 3)
+            assert self.out_dtype is None, "out_dtype not plumbed for s2d"
+            x_s2d, *raw = x
+            c0 = x_s2d.shape[-1] // 4
+            cin = c0 + sum(p.shape[-1] for p in raw)
+            kernel = self.param(
+                "kernel", kaiming_normal, (kh, kw, cin, self.features)
+            ).astype(self.dtype)
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias
+                else None
+            )
+            y = conv_s2d_s2(
+                x_s2d.astype(self.dtype),
+                jax.lax.slice_in_dim(kernel, 0, c0, axis=2),
+            )
+            off = c0
+            for p in raw:
+                c = p.shape[-1]
+                # Raw full-res stride-2 SAME conv; low-side pad 1 matches
+                # conv_s2d_s2's block-domain padding (windows at 2o-1..2o+1).
+                y = y + jax.lax.conv_general_dilated(
+                    p.astype(self.dtype),
+                    jax.lax.slice_in_dim(kernel, off, off + c, axis=2),
+                    (2, 2),
+                    ((1, 0), (1, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                off += c
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
         if isinstance(x, (tuple, list)):
             # Split-sum form of conv(concat(parts)): one conv per part over
             # the matching input-channel slice of the SAME canonical kernel,
@@ -157,6 +202,14 @@ class ConvOp(nn.Module):
                 return conv_s2d_s1(x, kernel, bias)
             assert self.stride == 2 and (kh, kw) == (3, 3)
             return conv_s2d_s2(x, kernel, bias)
+        if self.domain == "s2d_input":
+            # Raw full-res input, s2d-domain output: the stride-1 conv and
+            # the space_to_depth of its output collapse into ONE stride-2
+            # conv over a fused (kh+1,kw+1) kernel — no s2d transpose copy
+            # of x is ever materialized (ops/s2d.py::conv_s2d_input).
+            assert self.out_dtype is None, "out_dtype not plumbed for s2d"
+            assert self.stride == 1
+            return conv_s2d_input(x, kernel, bias)
         stride = (self.stride, self.stride)
         padding = ((kh // 2, kh // 2), (kw // 2, kw // 2))
         if jnp.dtype(out_dtype) != jnp.dtype(self.dtype):
@@ -200,7 +253,11 @@ class ConvElu(nn.Module):
             name="conv",
         )(x)
         x = nn.elu(x)
-        if self.domain == "s2d" and self.stride == 1 and any(pad_mask):
+        if (
+            self.domain in ("s2d", "s2d_input")
+            and self.stride == 1
+            and any(pad_mask)
+        ):
             x = mask_pad_phases(x, *pad_mask)
         return x
 

@@ -105,6 +105,55 @@ def s2d_kernel_s1(kernel: jax.Array) -> jax.Array:
     return out
 
 
+def s2d_kernel_input(kernel: jax.Array) -> jax.Array:
+    """Canonical stride-1 HWIO kernel (kh,kw,Ci,Co), kh/kw in {1,3} ->
+    fused input-space kernel (kh+1, kw+1, Ci, 4Co).
+
+    ``s2d(conv_s1(x)) == conv(x, s2d_kernel_input(K), stride 2, pad kh//2)``
+    — the output phase (py,px) of block (i,j) is the full-res conv output at
+    (2i+py, 2j+px), whose 3x3 window lies inside the 4x4 stride-2 window
+    rows 2i-1..2i+2.  This consumes the raw (B,H,W,Ci) input directly: no
+    space_to_depth transpose copy is ever materialized (the copy pads Ci=3
+    -> 4Ci=12 lanes in HBM and was the b56+ bf16 OOM driver), and the tap
+    count drops from 9 x 4Ci to 16 x Ci (2.25x fewer MACs for conv0).
+    """
+    kh, kw, ci, co = kernel.shape
+    assert kh in (1, 3) and kw in (1, 3), (kh, kw)
+    out = jnp.zeros((kh + 1, kw + 1, ci, 4 * co), kernel.dtype)
+    for py in range(2):
+        for px in range(2):
+            for dy in _tap_range(kh):
+                for dx in _tap_range(kw):
+                    out = out.at[
+                        py + dy + kh // 2,
+                        px + dx + kw // 2,
+                        :,
+                        (2 * py + px) * co : (2 * py + px + 1) * co,
+                    ].set(kernel[dy + kh // 2, dx + kw // 2])
+    return out
+
+
+def conv_s2d_input(
+    x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None
+) -> jax.Array:
+    """Canonical stride-1 conv fused with space_to_depth of its output,
+    reading the RAW full-res input (no s2d transpose of x).
+
+    x: (B, H, W, Ci) with H, W even; kernel canonical (kh,kw,Ci,Co);
+    returns (B, H/2, W/2, 4Co) == space_to_depth(conv_s1(x, kernel)).
+    """
+    kh, kw = kernel.shape[:2]
+    k = s2d_kernel_input(kernel)
+    p = (kh // 2, kw // 2)
+    y = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((p[0], p[0]), (p[1], p[1])),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, 4)
+    return y
+
+
 def s2d_kernel_s2(kernel: jax.Array) -> jax.Array:
     """Canonical stride-2 3x3 HWIO kernel -> 2x2 phase-block kernel
     (2,2,4Ci,Co); apply with stride 1 and low-side padding 1."""

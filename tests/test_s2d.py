@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from fal_net_tpu.models.backbone import FalNetBackbone, VARIANTS
 from fal_net_tpu.ops.s2d import (
     concat_s2d,
+    conv_s2d_input,
     conv_s2d_s1,
     conv_s2d_s2,
     depth_to_space,
@@ -25,6 +26,24 @@ def test_conv_s2d_s1_exact(rng, kh, kw):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + b
     got = depth_to_space(conv_s2d_s1(space_to_depth(x), k, b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kh,kw", [(3, 3), (3, 1), (1, 3), (1, 1)])
+def test_conv_s2d_input_exact(rng, kh, kw):
+    """Fused input-space form: conv_s2d_input(x) == s2d(conv_s1(x)) with no
+    s2d of x ever built."""
+    x = jnp.asarray(rng.standard_normal((2, 12, 16, 3)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((kh, kw, 3, 7)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((7,)).astype(np.float32))
+    want = space_to_depth(
+        jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + b
+    )
+    got = conv_s2d_input(x, k, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
 
 
@@ -47,17 +66,48 @@ def test_concat_s2d_matches_full_res_concat(rng):
     )
 
 
+def test_stem_input_fuse_grads_match(rng):
+    """Training path: parameter grads through the fused stem (conv_s2d_input
+    + split-sum conv1) match the materialized-s2d stem's grads."""
+    image = jnp.asarray(rng.standard_normal((2, 16, 24, 3)).astype(np.float32) * 0.3)
+    flow = jnp.full((2, 16, 24, 1), 3.0, jnp.float32)
+    spec = VARIANTS["tiny"]
+    m0 = FalNetBackbone(spec, num_out=5, s2d_stem=True, stem_input_fuse=False)
+    m1 = FalNetBackbone(spec, num_out=5, s2d_stem=True, stem_input_fuse=True)
+    params = m0.init(jax.random.PRNGKey(0), image, flow)
+
+    def loss(m):
+        return lambda p: jnp.sum(jnp.square(m.apply(p, image, flow)))
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    jax.tree.map(
+        # split-sum conv1 + fused conv0 reassociate sums; grads are O(1e2)
+        # here, so atol 1e-3 is still a 1e-5 relative bound on the tree
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3
+        ),
+        g0,
+        g1,
+    )
+
+
 @pytest.mark.parametrize("variant", ["A", "B"])
 @pytest.mark.parametrize("hw", [(64, 96), (63, 96), (63, 95)])
-def test_backbone_s2d_stem_matches_plain(rng, variant, hw):
+@pytest.mark.parametrize("input_fuse", [False, True])
+def test_backbone_s2d_stem_matches_plain(rng, variant, hw, input_fuse):
     """Same params, s2d stem on/off -> same logits (odd sizes exercise the
-    pad+mask path emulating conv zero padding)."""
+    pad+mask path emulating conv zero padding).  ``input_fuse`` covers both
+    stem forms: the s2d-domain convs over a materialized s2d(image), and the
+    fused raw-input conv0 + split-sum conv1 (no s2d copies at all)."""
     h, w = hw
     image = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32) * 0.3)
     flow = jnp.full((1, h, w, 1), 3.0, jnp.float32)
 
     plain = FalNetBackbone(VARIANTS[variant], num_out=9, s2d_stem=False)
-    s2d = FalNetBackbone(VARIANTS[variant], num_out=9, s2d_stem=True)
+    s2d = FalNetBackbone(
+        VARIANTS[variant], num_out=9, s2d_stem=True, stem_input_fuse=input_fuse
+    )
     params = plain.init(jax.random.PRNGKey(0), image, flow)
     # identical param trees
     jax.tree.map(lambda a, b: None, params, s2d.init(jax.random.PRNGKey(0), image, flow))
