@@ -31,7 +31,26 @@ _cache_dir = os.environ.get(
     os.path.join(os.path.dirname(__file__), ".jax_cache"),
 )
 if _cache_dir != "0":
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    # Salt the cache dir with the host CPU's feature set: XLA:CPU AOT
+    # results encode target machine features at compile time, and this
+    # container migrates between hosts across sessions — loading an entry
+    # compiled for a different feature set logs cpu_aot_loader errors
+    # ("could lead to ... SIGILL") and produced 1-ulp numeric drift that
+    # flaked exact-tolerance tests.  A moved container now gets a fresh
+    # cache instead of foreign executables.
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            _flags = next(
+                (ln for ln in f if ln.startswith("flags")), ""
+            )
+    except OSError:
+        _flags = ""
+    _salt = hashlib.sha1(_flags.encode()).hexdigest()[:8]
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_cache_dir, _salt)
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -38,7 +38,12 @@ def test_export_roundtrip_disp(tmp_path, tiny):
     assert fwd.meta["height"] == 16 and fwd.meta["width"] == 32
     (disp,) = fwd(x)
     ref = model.apply(variables, x, 2.0, 30.0, ret_disp=True).disp
-    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref), rtol=1e-6)
+    # The exported blob and the direct apply compile separately; XLA:CPU is
+    # free to vectorize/fuse them differently (observed: 1-ulp drift when
+    # one side loads from the persistent cache), so don't demand exactness.
+    np.testing.assert_allclose(
+        np.asarray(disp), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_export_all_outputs(tmp_path, tiny):
