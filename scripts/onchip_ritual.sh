@@ -29,6 +29,8 @@ step "bench"
 timeout 5400 python bench.py || exit 1
 
 if [ "$MODE" = "full" ]; then
+    step "stem_input_fuse A/B (probe_stem_fuse; informational — decides the flag default)"
+    timeout 3600 python scripts/probe_stem_fuse.py || echo "probe_stem_fuse FAILED (non-fatal)"
     step "Mosaic kernel numerics (verify_tpu)"
     timeout 1800 python scripts/verify_tpu.py || exit 1
     step "FAL_netA / FAL_netC on-chip (verify_variants_tpu)"

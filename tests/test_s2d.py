@@ -66,6 +66,7 @@ def test_concat_s2d_matches_full_res_concat(rng):
     )
 
 
+@pytest.mark.slow  # two full-backbone grad compiles (~50 s cold)
 def test_stem_input_fuse_grads_match(rng):
     """Training path: parameter grads through the fused stem (conv_s2d_input
     + split-sum conv1) match the materialized-s2d stem's grads."""
