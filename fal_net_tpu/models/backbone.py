@@ -27,10 +27,13 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec
 
 from fal_net_tpu.models.layers import (
+    ConstPlane,
     ConvElu,
     ConvOp,
+    ConvParams,
     Deconv,
     ResidualBlock,
+    _conv_accum,
     kaiming_normal,
 )
 
@@ -115,10 +118,17 @@ class FalNetBackbone(nn.Module):
     s2d_stem: bool = True
     stem_input_fuse: bool = False  # fuse space_to_depth INTO conv0 (one
     #   stride-2 4x4 conv over the raw image, ops/s2d.py::conv_s2d_input)
-    #   and run conv1 as a split-sum (phase-domain x0_s part + raw full-res
-    #   flow part) — exact up to fp reassociation, and never materializes
-    #   s2d(image), s2d(flow) or the 33-channel lane-padded concat in HBM
-    #   (the s2d(image) transpose copy was the bf16 b56+ OOM driver).
+    #   — exact up to fp reassociation; never materializes s2d(image) in
+    #   HBM.  Cycle model predicts 16/9 slower (16 taps vs 9 at equal
+    #   register counts) but the measured conv0 is NOT at its register
+    #   ceiling (12% — transpose-bound, runs/roofline.json), so on-chip
+    #   measurement decides (scripts/probe_stem_fuse.py).
+    stem_flow_analytic: bool = False  # conv1 as a split-sum: x0_s part in
+    #   the phase domain (1 exact input register instead of the concat's
+    #   padded 2) + the constant flow plane in closed form (ConstPlane —
+    #   no conv at all).  Exact up to reassociation; cycle model predicts
+    #   ~2x on conv1 (4.7 ms at exactly its 2-register time in
+    #   runs/roofline.json).  Default off until measured on-chip.
     s2d_tail: bool = False  # measured slower at batch 8 (4x redundant FLOPs
     #                         outweigh lane utilization once M is large)
     phase_deconv: bool = True  # exact phase-decomposed deconvs (2.25x fewer
@@ -163,7 +173,20 @@ class FalNetBackbone(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        image: jnp.ndarray,
+        flow: jnp.ndarray,
+        compose_logits=None,
+    ) -> jnp.ndarray:
+        """``compose_logits``: optional ``(kernel_1x1, bias)`` of a linear
+        1x1 conv to compose INTO iconv1 at trace time.  iconv1 and the
+        reference's extra logits 1x1 (FAL_netB.py:190-192) are consecutive
+        linear convs — no nonlinearity between them — so
+        ``conv1x1(conv3x3(x, Ki), K1) == conv3x3(x, Ki @ K1)``; composing
+        deletes the 1x1's full-resolution MXU pass (~1 register-pass per
+        output tile) and its intermediate.  The composed conv accumulates
+        to fp32 on the MXU (the MED head is always fp32)."""
         spec = self.spec
         rb = lambda name, domain="plain": ResidualBlock(
             separable=spec.separable_residual,
@@ -196,11 +219,15 @@ class FalNetBackbone(nn.Module):
                 )
             x0_s = rb("rb0", "s2d")(x0_s, mask)
             x0 = depth_to_space(x0_s)[:, :h, :w, :]
-            if self.stem_input_fuse:
+            if self.stem_flow_analytic:
+                # The flow plane is constant per item (FAL_netB.py:208-209
+                # broadcasts max_disp/100); its conv contribution has a
+                # closed form.  Top-left value is the constant (padding,
+                # if any, is bottom/right).
                 x = ConvElu(
                     spec.enc[0], stride=2, dtype=self.dtype, domain="s2d",
                     name="conv1",
-                )((x0_s, flow.astype(x0.dtype)))
+                )((x0_s, ConstPlane(flow[:, :1, :1, :], mask)))
             else:
                 cat_s = concat_s2d([x0_s, space_to_depth(flow.astype(x0.dtype))])
                 x = ConvElu(
@@ -253,6 +280,7 @@ class FalNetBackbone(nn.Module):
             and y.shape[-2] * 2 == w
         )
         if use_s2d_tail:
+            assert compose_logits is None, "fuse_logits requires s2d_tail=False"
             d1_s = Deconv(
                 spec.deconv[5], dtype=self.dtype, domain="s2d", name="deconv1"
             )(y, (h, w))
@@ -273,13 +301,30 @@ class FalNetBackbone(nn.Module):
                 phase=self.phase_deconv, name="deconv1",
             )(y, (x0.shape[-3], x0.shape[-2]))
             concat1 = jnp.concatenate([d1, x0], axis=-1)
-            logits = ConvOp(
-                self.num_out,
-                (3, 3),
-                use_bias=False,
-                dtype=self.dtype,
-                name="iconv1",
-            )(concat1)
+            if compose_logits is not None:
+                k1, b1 = compose_logits
+                ki, _ = ConvParams(
+                    self.num_out, (3, 3), concat1.shape[-1],
+                    use_bias=False, name="iconv1",
+                )()
+                # Compose in fp32 (the params' storage dtype) so the
+                # composed kernel rounds to self.dtype exactly once.
+                kc = jnp.einsum("abim,mo->abio", ki, k1[0, 0])
+                logits = _conv_accum(
+                    concat1.astype(self.dtype),
+                    kc.astype(self.dtype),
+                    (1, 1),
+                    ((1, 1), (1, 1)),
+                    jnp.float32,
+                ) + b1.astype(jnp.float32)
+            else:
+                logits = ConvOp(
+                    self.num_out,
+                    (3, 3),
+                    use_bias=False,
+                    dtype=self.dtype,
+                    name="iconv1",
+                )(concat1)
 
         if spec.has_amask:
             # The reference constructs an occlusion-mask head that forward()

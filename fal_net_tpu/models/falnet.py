@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from fal_net_tpu.models.backbone import FalNetBackbone, VariantSpec, VARIANTS
-from fal_net_tpu.models.layers import ConvOp
+from fal_net_tpu.models.layers import ConvOp, ConvParams
 from fal_net_tpu.ops.med import MedOutputs, med_outputs
 
 
@@ -55,9 +55,14 @@ class FalNet(nn.Module):
     # 'auto': fused Pallas MED head on TPU, jnp reference path elsewhere.
     med_impl: str = "auto"  # 'auto' | 'fused' | 'reference'
     s2d_stem: bool = True  # phase-domain full-res stem (+17%, ops/s2d.py)
-    stem_input_fuse: bool = False  # fuse s2d INTO conv0/conv1 — skips the
-    #   s2d(image)/s2d(flow)/concat HBM copies (bf16 b56+ OOM driver); see
-    #   FalNetBackbone.stem_input_fuse
+    stem_input_fuse: bool = False  # fuse s2d INTO conv0 — skips the
+    #   s2d(image) HBM copy; see FalNetBackbone.stem_input_fuse
+    stem_flow_analytic: bool = False  # split-sum conv1 with the constant
+    #   flow plane in closed form; see FalNetBackbone.stem_flow_analytic
+    fuse_logits: bool = False  # compose the linear iconv1 and logits_1x1
+    #   convs into ONE 3x3 conv at trace time (exact; identical param
+    #   tree) — deletes the 1x1's full-res MXU pass.  Requires
+    #   s2d_tail=False.  Default off until measured on-chip.
     s2d_tail: bool = False  # measured slower at batch 8; kept selectable
     phase_deconv: bool = True  # exact phase-decomposed decoder deconvs
     #                            (1.4-1.9x measured, ops/phase_deconv.py)
@@ -94,12 +99,13 @@ class FalNet(nn.Module):
             (max_arr / 100.0).reshape((-1,) + (1,) * 3).astype(left.dtype),
             (b, h, w, 1),
         )
-        dlog = FalNetBackbone(
+        backbone = FalNetBackbone(
             self.spec,
             num_out=self.num_levels,
             dtype=self.dtype,
             s2d_stem=self.s2d_stem,
             stem_input_fuse=self.stem_input_fuse,
+            stem_flow_analytic=self.stem_flow_analytic,
             s2d_tail=self.s2d_tail,
             phase_deconv=self.phase_deconv,
             split_fuse=self.split_fuse,
@@ -111,20 +117,35 @@ class FalNet(nn.Module):
             data_axis=self.med_axis if self.med_mesh is not None else None,
             spatial_axis=self.med_spatial_axis,
             name="backbone",
-        )(left, flow)
-        # The logits conv reads the backbone dtype but emits fp32 straight
-        # from the MXU accumulator: the MED head below is always fp32, and
-        # a separate bf16->fp32 convert of this (B,H,W,N) tensor would cost
-        # a tiling relayout + lost softmax fusion (measured: the entire
-        # bf16-inference slowdown, 63.8 -> 47 ms at 384x1280 b8).
-        logits = ConvOp(
-            self.num_levels,
-            (1, 1),
-            use_bias=True,
-            dtype=self.dtype,
-            out_dtype=jnp.float32,
-            name="logits_1x1",
-        )(dlog)
+        )
+        if self.fuse_logits:
+            # iconv1 and the extra 1x1 (FAL_netB.py:190-192) are consecutive
+            # LINEAR convs: compose them into one 3x3 conv at trace time
+            # (see FalNetBackbone.__call__).  Param tree is identical —
+            # ConvParams declares 'logits_1x1/{kernel,bias}' exactly as the
+            # unfused ConvOp would — so checkpoints are interchangeable.
+            assert not self.s2d_tail, "fuse_logits requires s2d_tail=False"
+            k1, b1 = ConvParams(
+                self.num_levels, (1, 1), self.num_levels,
+                use_bias=True, name="logits_1x1",
+            )()
+            logits = backbone(left, flow, compose_logits=(k1, b1))
+        else:
+            dlog = backbone(left, flow)
+            # The logits conv reads the backbone dtype but emits fp32
+            # straight from the MXU accumulator: the MED head below is
+            # always fp32, and a separate bf16->fp32 convert of this
+            # (B,H,W,N) tensor would cost a tiling relayout + lost softmax
+            # fusion (measured: the entire bf16-inference slowdown,
+            # 63.8 -> 47 ms at 384x1280 b8).
+            logits = ConvOp(
+                self.num_levels,
+                (1, 1),
+                use_bias=True,
+                dtype=self.dtype,
+                out_dtype=jnp.float32,
+                name="logits_1x1",
+            )(dlog)
         # The MED head runs in fp32 regardless of backbone compute dtype:
         # softmax over 49 planes and the disparity expectation are cheap and
         # precision-sensitive.
@@ -197,6 +218,8 @@ def create_model(
     med_impl: str = "auto",
     s2d_stem: bool = True,
     stem_input_fuse: bool = False,
+    stem_flow_analytic: bool = False,
+    fuse_logits: bool = False,
     s2d_tail: bool = False,
     phase_deconv: bool = True,
     split_fuse: bool = False,
@@ -224,6 +247,8 @@ def create_model(
         med_impl=med_impl,
         s2d_stem=s2d_stem,
         stem_input_fuse=stem_input_fuse,
+        stem_flow_analytic=stem_flow_analytic,
+        fuse_logits=fuse_logits,
         s2d_tail=s2d_tail,
         phase_deconv=phase_deconv,
         split_fuse=split_fuse,

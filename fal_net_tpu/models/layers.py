@@ -13,7 +13,7 @@ their canonical shapes either way, so checkpoints are domain-agnostic.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import flax.linen as nn
 import jax
@@ -30,6 +30,38 @@ from fal_net_tpu.ops.s2d import (
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 PadMask = Tuple[int, int]  # (pad_h, pad_w) in {0,1}
+
+
+class ConstPlane(NamedTuple):
+    """A full-resolution single-channel input plane that is CONSTANT per
+    batch item (zero in any bottom/right even-padding rows) — the FAL-net
+    "flow" conditioning plane (reference FAL_netB.py:208-209 broadcasts
+    max_disp/100 over HxW).
+
+    Convolving a constant plane is a closed form: the contribution to
+    output (y, x) is ``value * sum(kernel taps whose input position is
+    in-bounds and not padding)``.  Passing the plane to ConvOp's split-sum
+    s2d branch as a ConstPlane replaces an entire stride-2 conv (9 taps x
+    one full 128-lane register for the 1 real channel) with a tiny
+    edge-weight einsum plus a fused broadcast add.
+    """
+
+    value: jax.Array  # scalar or (B,1,1,1): the per-item plane value
+    pad: PadMask  # (pad_h, pad_w): 1 if the last full-res row/col is
+    #               zero padding (odd sizes padded to even), else 0
+
+
+def _const_plane_weights(h2: int, w2: int, h_valid: int, w_valid: int):
+    """Tap-validity masks for a stride-2 3x3 SAME conv over a constant
+    plane: output (y, x) reads input rows 2y-1+d, d in {0,1,2}; a tap is
+    live iff its row/col is in [0, h_valid) / [0, w_valid)."""
+    import numpy as np
+
+    rows = 2 * np.arange(h2)[:, None] - 1 + np.arange(3)[None, :]
+    cols = 2 * np.arange(w2)[:, None] - 1 + np.arange(3)[None, :]
+    vh = ((rows >= 0) & (rows < h_valid)).astype(np.float32)
+    vw = ((cols >= 0) & (cols < w_valid)).astype(np.float32)
+    return vh, vw
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -98,16 +130,22 @@ class ConvOp(nn.Module):
         kh, kw = self.kernel_size
         if isinstance(x, (tuple, list)) and self.domain == "s2d":
             # Stem conv1 fuse: split-sum of one phase-domain part (x0_s)
-            # plus raw FULL-RES parts (the flow plane).  Equals the stride-2
-            # conv over the full-res concat (fp reassociation only), but
-            # never materializes s2d(flow) or the lane-padded concat in HBM
-            # (the 33-channel concat pads to 128+ lanes at stem size — the
-            # single largest intermediate of the forward).
+            # plus extra FULL-RES parts — raw arrays, or ConstPlane for the
+            # constant flow plane.  Equals the stride-2 conv over the
+            # full-res concat (fp reassociation only), but never
+            # materializes s2d(flow) or the lane-padded concat in HBM, and
+            # a ConstPlane costs no conv at all: without the split, the
+            # 132-channel concat pads to 2 input registers (measured: conv1
+            # runs at exactly that 2-register time, runs/roofline.json);
+            # with it, the x0_s part reads 1 exact register and the flow
+            # term is a closed-form broadcast.
             assert self.stride == 2 and (kh, kw) == (3, 3)
             assert self.out_dtype is None, "out_dtype not plumbed for s2d"
-            x_s2d, *raw = x
+            x_s2d, *extras = x
             c0 = x_s2d.shape[-1] // 4
-            cin = c0 + sum(p.shape[-1] for p in raw)
+            cin = c0 + sum(
+                1 if isinstance(p, ConstPlane) else p.shape[-1] for p in extras
+            )
             kernel = self.param(
                 "kernel", kaiming_normal, (kh, kw, cin, self.features)
             ).astype(self.dtype)
@@ -120,8 +158,28 @@ class ConvOp(nn.Module):
                 x_s2d.astype(self.dtype),
                 jax.lax.slice_in_dim(kernel, 0, c0, axis=2),
             )
+            h2, w2 = y.shape[-3], y.shape[-2]
             off = c0
-            for p in raw:
+            for p in extras:
+                if isinstance(p, ConstPlane):
+                    # conv(const plane) in closed form: per-position sum of
+                    # the in-bounds, non-padding kernel taps, scaled by the
+                    # plane value.  Tiny einsum + a broadcast add that XLA
+                    # fuses into the conv epilogue.
+                    ksl = jax.lax.slice_in_dim(kernel, off, off + 1, axis=2)
+                    ksl = ksl[:, :, 0, :]  # (3, 3, Co)
+                    vh, vw = _const_plane_weights(
+                        h2, w2, 2 * h2 - p.pad[0], 2 * w2 - p.pad[1]
+                    )
+                    edge = jnp.einsum(
+                        "yd,xe,deo->yxo",
+                        jnp.asarray(vh, self.dtype),
+                        jnp.asarray(vw, self.dtype),
+                        ksl,
+                    )
+                    y = y + jnp.asarray(p.value, self.dtype) * edge
+                    off += 1
+                    continue
                 c = p.shape[-1]
                 # Raw full-res stride-2 SAME conv; low-side pad 1 matches
                 # conv_s2d_s2's block-domain padding (windows at 2o-1..2o+1).
@@ -227,6 +285,33 @@ class ConvOp(nn.Module):
         if bias is not None:
             y = y + bias
         return y
+
+
+class ConvParams(nn.Module):
+    """Declare a ConvOp-compatible parameter tree ('kernel' [+ 'bias'])
+    WITHOUT applying the conv — for weights consumed by a composed/fused
+    formulation elsewhere (e.g. iconv1 composed with logits_1x1, which
+    are consecutive linear convs).  Named like the ConvOp it replaces, it
+    yields a bit-identical param tree and init values, so checkpoints are
+    interchangeable between the fused and unfused forms."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", kaiming_normal, (kh, kw, self.in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 class ConvElu(nn.Module):

@@ -1,16 +1,24 @@
-"""A/B the input-fused s2d stem in the FULL forward on the real chip.
+"""A/B the trace-time fusion flags in the FULL forward on the real chip.
 
-``stem_input_fuse`` collapses conv0+space_to_depth into one stride-2 4x4
-conv over the RAW image (2.25x fewer conv0 MACs, no s2d transpose copy)
-and runs conv1 as a split-sum (phase-domain x0_s part + raw full-res flow
-part), skipping the 132-lane concat.  Standalone wins have evaporated
-in-model before (probe_disp_head.py, probe_split_fuse.py) — this times the
-complete 384x1280 forward both ways, slope-timed, identical parameters:
+Three exact (reassociation-only) rewrites, each behind a default-off flag:
 
-  * fp32 b8  (the bench headline config)
-  * bf16 b48 (the best-throughput serving config)
-  * bf16 b56 / b64 with the fuse ON (the old stem OOMs there; the fuse
-    removes some of the padded HBM — check whether the boundary moves)
+  * fuse_logits        — compose the linear iconv1 + logits_1x1 convs into
+                         one 3x3 conv (deletes the 1x1's full-res MXU pass;
+                         cycle model predicts ~ -1.3 ms of the 39.7 ms fwd)
+  * stem_flow_analytic — conv1 as split-sum: x0_s part reads 1 exact input
+                         register (the 132-ch concat pads to 2) + closed-
+                         form constant-flow term (predicts ~2x on conv1's
+                         4.7 ms)
+  * stem_input_fuse    — conv0 reads the raw image via one stride-2 4x4
+                         conv, no s2d(image) copy (cycle model predicts
+                         16/9 slower, but conv0 measures transpose-bound
+                         at 12% of its register ceiling — could go either
+                         way)
+
+Standalone wins have evaporated in-model before (probe_disp_head.py,
+probe_split_fuse.py) — this times the complete 384x1280 forward per flag,
+slope-timed, identical parameters, then the best combo at bf16 b48 and
+the b56/b64 OOM boundary.
 
     PYTHONPATH=/root/repo python scripts/probe_stem_fuse.py
 """
@@ -59,45 +67,57 @@ def time_fwd(model, variables, x, lo=4, hi=24, repeats=3):
     return (best(hi) - best(lo)) / (hi - lo) * 1e3
 
 
+CONFIGS = [
+    ("baseline", {}),
+    ("fuse_logits", {"fuse_logits": True}),
+    ("flow_analytic", {"stem_flow_analytic": True}),
+    ("input_fuse", {"stem_input_fuse": True}),
+    ("all_on", {"fuse_logits": True, "stem_flow_analytic": True,
+                "stem_input_fuse": True}),
+]
+
+
 def main() -> int:
     print("devices:", jax.devices())
     rng = np.random.RandomState(0)
     base = rng.rand(8, H, W, 3).astype(np.float32) * 0.3
+    x1, x8 = jnp.asarray(base[:1]), jnp.asarray(base)
 
-    m_old = create_model("B", stem_input_fuse=False)
-    m_new = create_model("B", stem_input_fuse=True)
-    x1 = jnp.asarray(base[:1])
-    variables = m_old.init(jax.random.PRNGKey(0), x1, 2.0, 300.0)
+    ref = create_model("B")
+    variables = ref.init(jax.random.PRNGKey(0), x1, 2.0, 300.0)
+    d_ref = ref.apply(variables, x1, 2.0, 300.0).disp
 
-    d0 = m_old.apply(variables, x1, 2.0, 300.0).disp
-    d1 = m_new.apply(variables, x1, 2.0, 300.0).disp
-    print(f"disp maxdiff old vs fused stem: "
-          f"{float(jnp.abs(d0 - d1).max()):.2e} px")
+    results = {}
+    for name, kw in CONFIGS:
+        m = create_model("B", **kw)
+        if kw:
+            d = m.apply(variables, x1, 2.0, 300.0).disp
+            print(f"{name:14s} disp maxdiff vs baseline: "
+                  f"{float(jnp.abs(d - d_ref).max()):.2e} px")
+        ms = time_fwd(m, variables, x8)
+        results[name] = ms
+        rel = results["baseline"] / ms
+        print(f"fp32 b8 {name:14s} {ms:7.2f} ms/batch "
+              f"({8 / ms * 1e3:6.1f} imgs/s)  ({rel:4.2f}x)")
 
-    x8 = jnp.asarray(base)
-    ms0 = time_fwd(m_old, variables, x8)
-    ms1 = time_fwd(m_new, variables, x8)
-    print(f"fp32 b8 old stem:   {ms0:7.2f} ms/batch ({8 / ms0 * 1e3:6.1f} imgs/s)")
-    print(f"fp32 b8 fused stem: {ms1:7.2f} ms/batch ({8 / ms1 * 1e3:6.1f} imgs/s)"
-          f"  ({ms0 / ms1:4.2f}x)")
-
-    mb_old = create_model("B", dtype=jnp.bfloat16, stem_input_fuse=False)
-    mb_new = create_model("B", dtype=jnp.bfloat16, stem_input_fuse=True)
+    # bf16 serving config: baseline vs the all-on combo, then push the
+    # OOM boundary with the memory-lean flags.
     x48 = jnp.concatenate([x8] * 6)
-    ms0 = time_fwd(mb_old, variables, x48, lo=2, hi=10)
-    ms1 = time_fwd(mb_new, variables, x48, lo=2, hi=10)
-    print(f"bf16 b48 old stem:   {ms0:7.2f} ms/batch ({48 / ms0 * 1e3:6.1f} imgs/s)")
-    print(f"bf16 b48 fused stem: {ms1:7.2f} ms/batch ({48 / ms1 * 1e3:6.1f} imgs/s)"
-          f"  ({ms0 / ms1:4.2f}x)")
+    for name, kw in [CONFIGS[0], CONFIGS[-1]]:
+        mb = create_model("B", dtype=jnp.bfloat16, **kw)
+        ms = time_fwd(mb, variables, x48, lo=2, hi=10)
+        print(f"bf16 b48 {name:14s} {ms:7.2f} ms/batch "
+              f"({48 / ms * 1e3:6.1f} imgs/s)")
 
+    mb = create_model("B", dtype=jnp.bfloat16, **CONFIGS[-1][1])
     for b in (56, 64):
         xb = jnp.concatenate([x8] * ((b + 7) // 8))[:b]
         try:
-            ms = time_fwd(mb_new, variables, xb, lo=2, hi=10)
-            print(f"bf16 b{b} fused stem: {ms:7.2f} ms/batch "
+            ms = time_fwd(mb, variables, xb, lo=2, hi=10)
+            print(f"bf16 b{b} all_on: {ms:7.2f} ms/batch "
                   f"({b / ms * 1e3:6.1f} imgs/s)")
         except Exception as e:
-            print(f"bf16 b{b} fused stem: FAILED {type(e).__name__}: "
+            print(f"bf16 b{b} all_on: FAILED {type(e).__name__}: "
                   f"{str(e)[:140]}")
     return 0
 

@@ -144,3 +144,40 @@ def test_split_fuse_matches_concat(rng):
     flat1, _ = ravel_pytree(g1)
     scale = float(jnp.abs(flat0).max())
     assert float(jnp.abs(flat0 - flat1).max()) < 1e-3 * max(scale, 1.0)
+
+
+def test_fuse_logits_matches_two_convs(rng):
+    """fuse_logits composes the linear iconv1 and logits_1x1 convs into ONE
+    3x3 conv at trace time (conv1x1(conv3x3(x,Ki),K1) == conv3x3(x,Ki@K1) —
+    there is no nonlinearity between them, FAL_netB.py:190-192).  The param
+    tree must be bit-identical (checkpoints interchangeable) and outputs /
+    grads equal up to fp reassociation."""
+    x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))
+    m0 = create_model("B", med_impl="reference")
+    m1 = create_model("B", med_impl="reference", fuse_logits=True)
+    variables = m0.init(jax.random.PRNGKey(0), x, 2.0, 300.0)
+    v1 = m1.init(jax.random.PRNGKey(0), x, 2.0, 300.0)
+    # identical trees AND identical init values (same param paths -> same
+    # flax RNG folding)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        variables,
+        v1,
+    )
+    d0 = m0.apply(variables, x, 2.0, 300.0).disp
+    d1 = m1.apply(variables, x, 2.0, 300.0).disp
+    assert float(jnp.abs(d0 - d1).max()) < 1e-2
+
+    def loss(fn):
+        def f(v):
+            return jnp.sum(fn.apply(v, x, 2.0, 300.0).disp ** 2) * 1e-6
+        return f
+
+    from jax.flatten_util import ravel_pytree
+
+    g0 = jax.grad(loss(m0))(variables)
+    g1 = jax.grad(loss(m1))(variables)
+    flat0, _ = ravel_pytree(g0)
+    flat1, _ = ravel_pytree(g1)
+    scale = float(jnp.abs(flat0).max())
+    assert float(jnp.abs(flat0 - flat1).max()) < 1e-3 * max(scale, 1.0)

@@ -69,12 +69,15 @@ def test_concat_s2d_matches_full_res_concat(rng):
 @pytest.mark.slow  # two full-backbone grad compiles (~50 s cold)
 def test_stem_input_fuse_grads_match(rng):
     """Training path: parameter grads through the fused stem (conv_s2d_input
-    + split-sum conv1) match the materialized-s2d stem's grads."""
+    + analytic-flow split-sum conv1) match the materialized-s2d stem's."""
     image = jnp.asarray(rng.standard_normal((2, 16, 24, 3)).astype(np.float32) * 0.3)
     flow = jnp.full((2, 16, 24, 1), 3.0, jnp.float32)
     spec = VARIANTS["tiny"]
     m0 = FalNetBackbone(spec, num_out=5, s2d_stem=True, stem_input_fuse=False)
-    m1 = FalNetBackbone(spec, num_out=5, s2d_stem=True, stem_input_fuse=True)
+    m1 = FalNetBackbone(
+        spec, num_out=5, s2d_stem=True,
+        stem_input_fuse=True, stem_flow_analytic=True,
+    )
     params = m0.init(jax.random.PRNGKey(0), image, flow)
 
     def loss(m):
@@ -100,14 +103,16 @@ def test_backbone_s2d_stem_matches_plain(rng, variant, hw, input_fuse):
     """Same params, s2d stem on/off -> same logits (odd sizes exercise the
     pad+mask path emulating conv zero padding).  ``input_fuse`` covers both
     stem forms: the s2d-domain convs over a materialized s2d(image), and the
-    fused raw-input conv0 + split-sum conv1 (no s2d copies at all)."""
+    fused raw-input conv0 + analytic-flow split-sum conv1 (no s2d copies,
+    no flow conv at all; odd sizes exercise the ConstPlane pad taps)."""
     h, w = hw
     image = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32) * 0.3)
     flow = jnp.full((1, h, w, 1), 3.0, jnp.float32)
 
     plain = FalNetBackbone(VARIANTS[variant], num_out=9, s2d_stem=False)
     s2d = FalNetBackbone(
-        VARIANTS[variant], num_out=9, s2d_stem=True, stem_input_fuse=input_fuse
+        VARIANTS[variant], num_out=9, s2d_stem=True,
+        stem_input_fuse=input_fuse, stem_flow_analytic=input_fuse,
     )
     params = plain.init(jax.random.PRNGKey(0), image, flow)
     # identical param trees
