@@ -99,16 +99,21 @@ def main() -> None:
     flops = _model_flops(model, variables, left)
     mfu = (flops / batch) * value / V5E_PEAK_FLOPS if flops else 0.0
 
-    # Secondary: the measured best-throughput serving config (bf16 backbone,
-    # batch 48 — fp32 disparity output either way).  The round-4 batch sweep
-    # (scripts/probe_batch_sweep.py): bf16 237.7 b32 / 244.1 b48 / OOM b56+
-    # (the s2d-stem transpose pads 4x in HBM); fp32 peaks at b24 (225.4).
-    # The fp32 b8 headline stays for round-over-round comparability.
+    # Secondaries: the measured best-throughput serving configs per dtype.
+    # The round-4 batch sweep (scripts/probe_batch_sweep.py): bf16 237.7 b32
+    # / 244.1 b48 / OOM b56+ (the s2d-stem transpose pads 4x in HBM); fp32
+    # 215.8 b16 / 225.4 b24 (peak) / 221.9 b32.  The fp32 b8 headline stays
+    # for round-over-round comparability.
     bf16_batch = 48
     model_bf16 = create_model("B", 49, dtype=jnp.bfloat16)
     left_bf16 = jnp.concatenate([left] * (bf16_batch // batch))
     best_bf16 = _time_chained(model_bf16, variables, left_bf16, iters=iters)
     bf16_value = iters * bf16_batch / best_bf16
+
+    fp32_batch = 24
+    left_fp32b = jnp.concatenate([left] * (fp32_batch // batch))
+    best_fp32b = _time_chained(model, variables, left_fp32b, iters=iters)
+    fp32_value = iters * fp32_batch / best_fp32b
 
     print(
         json.dumps(
@@ -123,6 +128,8 @@ def main() -> None:
                 "batch1_latency_ms": round(latency_ms, 2),
                 "bf16_best_imgs_per_sec": round(bf16_value, 3),
                 "bf16_best_batch": bf16_batch,
+                "fp32_best_imgs_per_sec": round(fp32_value, 3),
+                "fp32_best_batch": fp32_batch,
                 "mfu_vs_bf16_peak": round(mfu, 4),
                 "fwd_tflops_per_img": round(flops / batch / 1e12, 3)
                 if flops

@@ -405,7 +405,12 @@ class Evaluator:
                     target[None], disp_np[None]
                 )
                 meters["kitti"].update(
-                    compute_kitti_errors(gt_d[0], pred_d[0], use_median=cfg.use_median)
+                    compute_kitti_errors(
+                        gt_d[0],
+                        pred_d[0],
+                        use_median=cfg.use_median,
+                        scale_out=meters["scale"],
+                    )
                 )
             elif cfg.dataset == "Kitti2015":
                 if disp_np.shape == target.shape:
@@ -423,7 +428,12 @@ class Evaluator:
                     target[None], disp_np[None]
                 )
                 meters["kitti"].update(
-                    compute_kitti_errors(gt_d[0], pred_d[0], use_median=cfg.use_median)
+                    compute_kitti_errors(
+                        gt_d[0],
+                        pred_d[0],
+                        use_median=cfg.use_median,
+                        scale_out=meters["scale"],
+                    )
                 )
             elif cfg.dataset == "Make3D":
                 gt_d, pred_d = disps_to_depths_make(target[None], disp_np[None])
@@ -465,6 +475,11 @@ class Evaluator:
             "batch_time": AverageMeter(),
             "kitti": MultiAverageMeter(KITTI_ERROR_NAMES),
             "make": MultiAverageMeter(KITTI_ERROR_NAMES),
+            # per-image median-scaling factors under use_median — the
+            # reference keeps a running average in module globals and
+            # prints it each image (myUtils.py:193-207); we surface the
+            # mean in errors.txt / metrics.json instead.
+            "scale": [],
             "evaluate": evaluate,
         }
 
@@ -521,6 +536,8 @@ class Evaluator:
         }
         source = meters["make"] if cfg.dataset == "Make3D" else meters["kitti"]
         metrics.update({k: v for k, v in zip(KITTI_ERROR_NAMES, source.avg)})
+        if cfg.use_median and meters["scale"]:
+            metrics["median_scale_mean"] = float(np.mean(meters["scale"]))
 
         # errors.txt is always written, like the reference (Test_KITTI.py:276-280
         # writes it unconditionally, independent of --save).
@@ -534,6 +551,10 @@ class Evaluator:
         with open(os.path.join(cfg.save_path, "errors.txt"), "w") as f:
             f.write(f"Number of parameters {n_params}\n")
             f.write(f"EPE {meters['epe'].avg}\n")
+            if "median_scale_mean" in metrics:
+                f.write(
+                    f"Median scaling mean factor {metrics['median_scale_mean']}\n"
+                )
             f.write("Kitti metrics:\n")
             f.write(repr(source) + "\n")
         # machine-readable sibling of errors.txt (same stream format as the

@@ -43,8 +43,17 @@ def compute_kitti_errors(
     use_median: bool = False,
     min_d: float = 1.0,
     max_d: float = 80.0,
+    scale_out: list | None = None,
 ) -> List[float]:
-    """The 7 KITTI depth metrics on valid (gt>0) pixels (myUtils.py:196-231)."""
+    """The 7 KITTI depth metrics on valid (gt>0) pixels (myUtils.py:196-231).
+
+    Under ``use_median`` the reference also tracks a running mean of the
+    per-image scale factor in module globals and prints it every image
+    (myUtils.py:193-207).  Here the factor is instead appended to the
+    caller-owned ``scale_out`` list — the Evaluator averages it into
+    errors.txt / metrics.json, replacing the reference's global-state
+    side effect with explicit plumbing.
+    """
     mask = gt > 0
     gt = gt[mask]
     pred = pred[mask]
@@ -52,6 +61,8 @@ def compute_kitti_errors(
     if use_median:
         factor = np.median(gt) / np.median(pred)
         pred = factor * pred
+        if scale_out is not None:
+            scale_out.append(float(factor))
 
     pred = np.clip(pred, min_d, max_d)
     gt = np.clip(gt, min_d, max_d)

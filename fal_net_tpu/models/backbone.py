@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec
 
 from fal_net_tpu.models.layers import (
@@ -128,7 +129,10 @@ class FalNetBackbone(nn.Module):
     #   padded 2) + the constant flow plane in closed form (ConstPlane —
     #   no conv at all).  Exact up to reassociation; cycle model predicts
     #   ~2x on conv1 (4.7 ms at exactly its 2-register time in
-    #   runs/roofline.json).  Default off until measured on-chip.
+    #   runs/roofline.json).  REQUIRES a per-item-constant flow plane:
+    #   only flow[:, :1, :1, :] is read.  FalNet always satisfies this
+    #   (it broadcasts max_disp/100, falnet.py / FAL_netB.py:208-209);
+    #   concrete (non-traced) inputs are verified at call time.
     s2d_tail: bool = False  # measured slower at batch 8 (4x redundant FLOPs
     #                         outweigh lane utilization once M is large)
     phase_deconv: bool = True  # exact phase-decomposed deconvs (2.25x fewer
@@ -196,6 +200,18 @@ class FalNetBackbone(nn.Module):
         )
 
         h, w = image.shape[-3], image.shape[-2]
+        if self.stem_flow_analytic and not isinstance(flow, jax.core.Tracer):
+            # The closed-form flow term reads only flow[:, :1, :1, :]; a
+            # spatially varying plane would be silently wrong.  Traced
+            # values can't be inspected, but any eager call (tests, direct
+            # backbone use) is checked here.  FalNet itself always passes
+            # a broadcast constant (max_disp/100).
+            fv = np.asarray(flow)
+            if not (fv == fv[:, :1, :1, :]).all():
+                raise ValueError(
+                    "stem_flow_analytic requires a per-item-constant flow "
+                    "plane (only flow[:, :1, :1, :] is read)"
+                )
         if self.s2d_stem:
             from fal_net_tpu.ops.s2d import (
                 concat_s2d,

@@ -33,8 +33,10 @@ if [ "$MODE" = "full" ]; then
     timeout 3600 python scripts/probe_stem_fuse.py || echo "probe_stem_fuse FAILED (non-fatal)"
     step "Mosaic kernel numerics (verify_tpu)"
     timeout 1800 python scripts/verify_tpu.py || exit 1
-    step "FAL_netA / FAL_netC on-chip (verify_variants_tpu)"
-    timeout 2400 python scripts/verify_variants_tpu.py || exit 1
+    step "FAL_netA / FAL_netC on-chip, incl. training legs (verify_variants_tpu)"
+    timeout 3600 python scripts/verify_variants_tpu.py || exit 1
+    step "perceptual (a_p>0) step timing (probe_perceptual_step)"
+    timeout 3600 python scripts/probe_perceptual_step.py || echo "probe_perceptual_step FAILED (non-fatal)"
     step "stage-1 on-chip convergence (verify_train_tpu)"
     timeout 2400 python scripts/verify_train_tpu.py || exit 1
     step "stage-2 on-chip convergence (verify_train_stage2_tpu)"

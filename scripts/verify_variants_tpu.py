@@ -1,4 +1,4 @@
-"""On-TPU verification for FAL_netA and FAL_netC (VERDICT r3 #4).
+"""On-TPU verification for FAL_netA and FAL_netC (VERDICT r3 #4, r4 #3).
 
 bench/verify_tpu/convergence scripts all exercise variant B; A (N=33,
 separable k x 1 / 1 x k residuals, maskR quirk flag) and C (wide encoder,
@@ -9,11 +9,17 @@ Mosaic on a real chip.  This script, per variant:
     vs the jnp oracle, ON CHIP (verify_tpu.py covers only N=49);
   * a full jitted forward (disp+pan+subocc through the fused head) at the
     384x1280 headline shape — finiteness + imgs/s at batch 1 and 8;
+  * a stage-1 TRAINING convergence leg (VERDICT r4 #3): 400 steps on
+    synthetic constant-6px smooth stereo, through the REAL variant's
+    backward — A's separable-residual grads (FAL_netA.py:73-76) and C's
+    wide decoder (FAL_netC.py:110-113) — at the variant's native N=33
+    (min 2 / max 18 puts 6.0 px exactly at level 16: 2*9^(16/32));
   * for A: the a_maskr_quirk=True path (reference FAL_netA.py:264
     align_corners-less maskR warp, jnp MED path) runs on chip and differs
     from the default path on maskR only.
 
 Run as part of `onchip_ritual.sh full`:  python scripts/verify_variants_tpu.py
+(add --no_train to skip the convergence legs for a quick forward-only check)
 """
 
 import os
@@ -74,6 +80,83 @@ def check_med_numerics(n_levels: int) -> bool:
     return ok
 
 
+def check_training(variant: str) -> bool:
+    """Stage-1 convergence through the variant's REAL fwd+bwd on chip.
+
+    Mirrors scripts/verify_train_tpu.py (which runs the 'tiny' spec), but
+    at the variant's full channel widths and native N=33 so A's separable
+    residuals and C's wide decoder actually drive Mosaic/layout in the
+    backward.  Synthetic constant-6px smooth stereo; 6.0 px is exactly
+    level 16 of (min 2, max 18, N=33)."""
+    import optax
+    import scipy.ndimage as ndi
+
+    from fal_net_tpu.ops.med import disparity_levels
+    from fal_net_tpu.train.stages import stage1_loss
+
+    disp_px, h, w, b = 6, 64, 128, 4
+    n = 33
+    min_d, max_d = 2.0, 18.0
+    chunk, chunks = 50, 8
+
+    rng = np.random.default_rng(0)
+    coarse = rng.random((b, h // 8 + 2, (w + disp_px) // 8 + 2, 3)).astype(
+        np.float32
+    )
+    wide = np.stack(
+        [ndi.zoom(c, (8, 8, 1), order=3)[:h, : w + disp_px] for c in coarse]
+    )
+    left = jnp.asarray(wide[:, :, :w] - 0.5)
+    right = jnp.asarray(wide[:, :, disp_px:] - 0.5)
+
+    model = create_model(variant, n)
+    params = model.init(jax.random.PRNGKey(0), left, min_d, max_d, ret_disp=True)
+    tx = optax.adam(5e-4, b1=0.5)
+    opt_state = tx.init(params)
+
+    def one_step(carry, _):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            return stage1_loss(
+                p, {"left": left, "right": right}, model.apply,
+                min_disp=min_d, max_disp=max_d, a_p=0.0, a_sm=0.2 * 2 / 512,
+                vgg_fn=None,
+            )
+
+        (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt_state = tx.update(g, opt_state, params)
+        return (optax.apply_updates(params, upd), opt_state), loss
+
+    @jax.jit
+    def run_chunk(params, opt_state):
+        (params, opt_state), losses = jax.lax.scan(
+            one_step, (params, opt_state), None, length=chunk
+        )
+        return params, opt_state, losses[-1]
+
+    t0 = time.time()
+    first = last = None
+    for k in range(chunks):
+        params, opt_state, loss = run_chunk(params, opt_state)
+        if first is None:
+            first = float(loss)
+        last = float(loss)
+        print(f"  step {(k + 1) * chunk}: loss {float(loss):.4f}", flush=True)
+
+    disp = model.apply(params, left, min_d, max_d, ret_disp=True).disp
+    med = float(jnp.median(disp))
+    levels = np.asarray(disparity_levels(min_d, max_d, n))
+    spacing = float(levels[17] - levels[16])  # local spacing at the target
+    ok = abs(med - disp_px) < spacing / 2 and last < first
+    print(
+        f"  {'OK ' if ok else 'FAIL'} train FAL_net{variant}: median disp "
+        f"{med:.3f} (target {disp_px}, level spacing {spacing:.3f}), loss "
+        f"{first:.4f} -> {last:.4f}, {time.time() - t0:.0f}s"
+    )
+    return ok
+
+
 def check_variant(variant: str) -> bool:
     print(f"--- FAL_net{variant} ---")
     model = create_model(variant)  # default levels (A/C: 33)
@@ -126,6 +209,8 @@ def main() -> int:
     ok = True
     for variant in ("A", "C"):
         ok &= check_variant(variant)
+        if "--no_train" not in sys.argv:
+            ok &= check_training(variant)
     print("VERIFY VARIANTS:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -37,6 +37,30 @@ def test_compute_kitti_errors_parity(rng, ref_utils):
     np.testing.assert_allclose(got, want, rtol=1e-9)
 
 
+def test_compute_kitti_errors_median_parity(rng, ref_utils):
+    """use_median: metrics AND the tracked scale factor match the
+    reference's running-global tracking (myUtils.py:193-207)."""
+    ref_utils.sum_cnt = 0
+    ref_utils.sum_scale = 0
+    scales = []
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        gt = r.random((60, 80)) * 90
+        gt[r.random((60, 80)) < 0.6] = 0
+        pred = r.random((60, 80)) * 40 + 0.5
+        want = ref_utils.compute_kitti_errors(
+            gt.copy(), pred.copy(), use_median=True
+        )
+        got = compute_kitti_errors(
+            gt.copy(), pred.copy(), use_median=True, scale_out=scales
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+    assert len(scales) == ref_utils.sum_cnt == 3
+    np.testing.assert_allclose(
+        np.mean(scales), ref_utils.sum_scale / ref_utils.sum_cnt, rtol=1e-12
+    )
+
+
 def test_disps_to_depths_kitti_parity(rng, ref_utils):
     h, w = 375, 1242
     gt = rng.random((1, h, w)) * 80

@@ -81,6 +81,34 @@ def test_evaluator_kitti2015_metrics(tmp_path):
     assert mj["n_images"] == 2 and np.isclose(mj["abs_rel"], metrics["abs_rel"])
 
 
+def test_evaluator_median_scale_surfaced(tmp_path):
+    """--median: the mean per-image scale factor lands in metrics.json and
+    errors.txt (the reference tracks/prints it via module globals,
+    myUtils.py:193-207)."""
+    model, variables = _make_model()
+    cfg = EvalConfig(
+        dataset="Kitti2015",
+        use_median=True,
+        save_path=str(tmp_path),
+        print_freq=1,
+    )
+    metrics = Evaluator(model, variables, cfg).run(SyntheticEval())
+    assert np.isfinite(metrics["median_scale_mean"])
+    assert metrics["median_scale_mean"] > 0
+    import json
+
+    mj = json.load(open(tmp_path / "metrics.json"))
+    assert np.isclose(mj["median_scale_mean"], metrics["median_scale_mean"])
+    txt = open(tmp_path / "errors.txt").read()
+    assert "Median scaling mean factor" in txt
+    # without --median the key is absent
+    cfg2 = EvalConfig(
+        dataset="Kitti2015", save_path=str(tmp_path / "nomed"), print_freq=1
+    )
+    m2 = Evaluator(model, variables, cfg2).run(SyntheticEval())
+    assert "median_scale_mean" not in m2
+
+
 @pytest.mark.slow
 def test_batched_eval_metric_identity(tmp_path):
     """Bucketed batch-N evaluation produces the same metrics as the

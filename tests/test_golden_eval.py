@@ -32,7 +32,6 @@ if "/root/reference" not in sys.path:
 
 # KITTI widths carry the camera tables; Garg crop needs H > 223.
 H, W = 256, 1242
-NUM_LEVELS = 7
 MIN_DISP, MAX_DISP = 2.0, 300.0
 
 
@@ -87,11 +86,16 @@ def torch_ms_pp(input_view, model, disp, min_disp, max_disp):
     return (1 - norm) * disp + norm * dwn_flip_disp
 
 
-def test_golden_eval_end_to_end(rng, tmp_path):
+# N=7 keeps the torch-CPU reference fast; N=49 is the shipped plane count —
+# it drives the plane-count-dependent paths (shift tables, softmax width,
+# 49-channel logits tail) through the SAME integrated golden rather than
+# only through unit tests (VERDICT round-4 item 7).
+@pytest.mark.parametrize("num_levels", [7, 49])
+def test_golden_eval_end_to_end(rng, tmp_path, num_levels):
     from models.FAL_netB import FAL_netB
     import myUtils as ref_utils
 
-    ref = FAL_netB(None, no_levels=NUM_LEVELS).eval()
+    ref = FAL_netB(None, no_levels=num_levels).eval()
 
     left = rng.standard_normal((H, W, 3)).astype(np.float32) * 0.25
     right = rng.standard_normal((H, W, 3)).astype(np.float32) * 0.25
@@ -118,7 +122,7 @@ def test_golden_eval_end_to_end(rng, tmp_path):
     params = {"params": convert_state_dict(
         {k: v.numpy() for k, v in ref.state_dict().items()}
     )}
-    model = create_model("B", NUM_LEVELS)
+    model = create_model("B", num_levels)
     cfg = EvalConfig(
         dataset="Kitti_eigen_test_improved",
         max_disp=MAX_DISP,

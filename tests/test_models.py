@@ -166,7 +166,14 @@ def test_fuse_logits_matches_two_convs(rng):
     )
     d0 = m0.apply(variables, x, 2.0, 300.0).disp
     d1 = m1.apply(variables, x, 2.0, 300.0).disp
-    assert float(jnp.abs(d0 - d1).max()) < 1e-2
+    # fp32 reassociation-only rewrite: measured drift is ~3e-6 RELATIVE to
+    # the disparity magnitude (random init saturates softmax near the
+    # 300 px top plane, so absolute drift is ~1e-3 px).  1e-5 relative
+    # keeps ~3x headroom while catching any systematic composition bug
+    # (e.g. a transposed einsum), which would move disp by O(1) px
+    # (ADVICE round 4: the old 1e-2 px absolute bound was too loose).
+    scale = float(jnp.abs(d0).max())
+    assert float(jnp.abs(d0 - d1).max()) < 1e-5 * max(scale, 1.0)
 
     def loss(fn):
         def f(v):

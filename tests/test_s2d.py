@@ -66,6 +66,60 @@ def test_concat_s2d_matches_full_res_concat(rng):
     )
 
 
+def test_convop_s2d_raw_extra_matches_concat(rng):
+    """ConvOp's tuple-s2d split-sum with a RAW full-res extra (plus a
+    ConstPlane, so the kernel-slice offset bookkeeping is exercised too)
+    == the stride-2 conv over the full-res concat.  No in-model config
+    passes a raw extra today (stem_flow_analytic wraps the constant flow
+    plane in a ConstPlane instead); this pins the general branch — in
+    particular its ((1,0),(1,0)) low-side padding, which must match
+    conv_s2d_s2's block-domain windows."""
+    from fal_net_tpu.models.layers import ConstPlane, ConvOp
+
+    x0 = rng.standard_normal((2, 12, 16, 6)).astype(np.float32)
+    raw = rng.standard_normal((2, 12, 16, 2)).astype(np.float32)
+    const_val = jnp.full((2, 1, 1, 1), 3.0, jnp.float32)
+    xs = (
+        space_to_depth(jnp.asarray(x0)),
+        ConstPlane(const_val, (0, 0)),
+        jnp.asarray(raw),
+    )
+    op = ConvOp(7, (3, 3), stride=2, domain="s2d")
+    variables = op.init(jax.random.PRNGKey(0), xs)
+    got = op.apply(variables, xs)
+
+    k = variables["params"]["kernel"]
+    b = variables["params"]["bias"]
+    cat = jnp.concatenate(
+        [jnp.asarray(x0), jnp.broadcast_to(const_val, (2, 12, 16, 1)),
+         jnp.asarray(raw)], -1,
+    )
+    want = jax.lax.conv_general_dilated(
+        cat, k, (2, 2), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_stem_flow_analytic_rejects_varying_flow(rng):
+    """stem_flow_analytic reads only flow[:, :1, :1, :]; an eager call with
+    a spatially varying flow plane must fail loudly, not return silently
+    wrong outputs."""
+    image = jnp.asarray(rng.standard_normal((1, 16, 24, 3)).astype(np.float32))
+    flow_bad = jnp.asarray(
+        rng.standard_normal((1, 16, 24, 1)).astype(np.float32)
+    )
+    m = FalNetBackbone(
+        VARIANTS["tiny"], num_out=5, s2d_stem=True, stem_flow_analytic=True
+    )
+    with pytest.raises(ValueError, match="per-item-constant flow"):
+        m.init(jax.random.PRNGKey(0), image, flow_bad)
+    # the broadcast-constant plane FalNet always passes is accepted
+    m.init(jax.random.PRNGKey(0), image, jnp.full((1, 16, 24, 1), 3.0))
+
+
 @pytest.mark.slow  # two full-backbone grad compiles (~50 s cold)
 def test_stem_input_fuse_grads_match(rng):
     """Training path: parameter grads through the fused stem (conv_s2d_input
