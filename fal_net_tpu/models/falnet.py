@@ -55,14 +55,20 @@ class FalNet(nn.Module):
     # 'auto': fused Pallas MED head on TPU, jnp reference path elsewhere.
     med_impl: str = "auto"  # 'auto' | 'fused' | 'reference'
     s2d_stem: bool = True  # phase-domain full-res stem (+17%, ops/s2d.py)
-    stem_input_fuse: bool = False  # fuse s2d INTO conv0 — skips the
-    #   s2d(image) HBM copy; see FalNetBackbone.stem_input_fuse
-    stem_flow_analytic: bool = False  # split-sum conv1 with the constant
-    #   flow plane in closed form; see FalNetBackbone.stem_flow_analytic
-    fuse_logits: bool = False  # compose the linear iconv1 and logits_1x1
+    stem_input_fuse: bool = True  # fuse s2d INTO conv0 — skips the
+    #   s2d(image) HBM copy; see FalNetBackbone.stem_input_fuse.  Alone it
+    #   measured 0.98x, but combined with stem_flow_analytic the stem
+    #   materializes NO s2d/concat copies at all and the pair + fuse_logits
+    #   is 1.14x fp32 b8 / 1.19x bf16 b48 (probe_stem_fuse.py, round 5,
+    #   DESIGN.md §Stem/logits fusion) — defaults ON.
+    stem_flow_analytic: bool = True  # split-sum conv1 with the constant
+    #   flow plane in closed form; see FalNetBackbone.stem_flow_analytic.
+    #   Measured 1.10x alone on-chip (round 5) — default ON.
+    fuse_logits: bool = True  # compose the linear iconv1 and logits_1x1
     #   convs into ONE 3x3 conv at trace time (exact; identical param
     #   tree) — deletes the 1x1's full-res MXU pass.  Requires
-    #   s2d_tail=False.  Default off until measured on-chip.
+    #   s2d_tail=False.  Measured 1.02x alone on-chip (round 5) — default
+    #   ON.
     s2d_tail: bool = False  # measured slower at batch 8; kept selectable
     phase_deconv: bool = True  # exact phase-decomposed decoder deconvs
     #                            (1.4-1.9x measured, ops/phase_deconv.py)
@@ -217,9 +223,9 @@ def create_model(
     dtype: jnp.dtype = jnp.float32,
     med_impl: str = "auto",
     s2d_stem: bool = True,
-    stem_input_fuse: bool = False,
-    stem_flow_analytic: bool = False,
-    fuse_logits: bool = False,
+    stem_input_fuse: bool = True,
+    stem_flow_analytic: bool = True,
+    fuse_logits: bool = True,
     s2d_tail: bool = False,
     phase_deconv: bool = True,
     split_fuse: bool = False,

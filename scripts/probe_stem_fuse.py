@@ -67,13 +67,16 @@ def time_fwd(model, variables, x, lo=4, hi=24, repeats=3):
     return (best(hi) - best(lo)) / (hi - lo) * 1e3
 
 
+# flags default ON since round 5 — "baseline" pins the round-4 ship
+# config (all off) explicitly so the A/B stays meaningful.
+OFF = {"fuse_logits": False, "stem_flow_analytic": False,
+       "stem_input_fuse": False}
 CONFIGS = [
-    ("baseline", {}),
-    ("fuse_logits", {"fuse_logits": True}),
-    ("flow_analytic", {"stem_flow_analytic": True}),
-    ("input_fuse", {"stem_input_fuse": True}),
-    ("all_on", {"fuse_logits": True, "stem_flow_analytic": True,
-                "stem_input_fuse": True}),
+    ("baseline", dict(OFF)),
+    ("fuse_logits", dict(OFF, fuse_logits=True)),
+    ("flow_analytic", dict(OFF, stem_flow_analytic=True)),
+    ("input_fuse", dict(OFF, stem_input_fuse=True)),
+    ("all_on", {}),
 ]
 
 
@@ -83,14 +86,17 @@ def main() -> int:
     base = rng.rand(8, H, W, 3).astype(np.float32) * 0.3
     x1, x8 = jnp.asarray(base[:1]), jnp.asarray(base)
 
-    ref = create_model("B")
+    ref = create_model("B", **OFF)
     variables = ref.init(jax.random.PRNGKey(0), x1, 2.0, 300.0)
     d_ref = ref.apply(variables, x1, 2.0, 300.0).disp
 
     results = {}
     for name, kw in CONFIGS:
         m = create_model("B", **kw)
-        if kw:
+        if name != "baseline":
+            # px-scale maxdiff at random init is softmax near-tie
+            # amplification of single-pass-bf16 conv noise, NOT rewrite
+            # error — see scripts/probe_fuse_drift.py's CPU control.
             d = m.apply(variables, x1, 2.0, 300.0).disp
             print(f"{name:14s} disp maxdiff vs baseline: "
                   f"{float(jnp.abs(d - d_ref).max()):.2e} px")

@@ -153,7 +153,7 @@ def test_fuse_logits_matches_two_convs(rng):
     tree must be bit-identical (checkpoints interchangeable) and outputs /
     grads equal up to fp reassociation."""
     x = jnp.asarray(rng.standard_normal((1, 64, 96, 3)).astype(np.float32))
-    m0 = create_model("B", med_impl="reference")
+    m0 = create_model("B", med_impl="reference", fuse_logits=False)
     m1 = create_model("B", med_impl="reference", fuse_logits=True)
     variables = m0.init(jax.random.PRNGKey(0), x, 2.0, 300.0)
     v1 = m1.init(jax.random.PRNGKey(0), x, 2.0, 300.0)
