@@ -100,20 +100,31 @@ def main() -> None:
     mfu = (flops / batch) * value / V5E_PEAK_FLOPS if flops else 0.0
 
     # Secondaries: the measured best-throughput serving configs per dtype.
-    # The round-4 batch sweep (scripts/probe_batch_sweep.py): bf16 237.7 b32
-    # / 244.1 b48 / OOM b56+ (the s2d-stem transpose pads 4x in HBM); fp32
-    # 215.8 b16 / 225.4 b24 (peak) / 221.9 b32.  The fp32 b8 headline stays
-    # for round-over-round comparability.
-    bf16_batch = 48
-    model_bf16 = create_model("B", 49, dtype=jnp.bfloat16)
-    left_bf16 = jnp.concatenate([left] * (bf16_batch // batch))
-    best_bf16 = _time_chained(model_bf16, variables, left_bf16, iters=iters)
-    bf16_value = iters * bf16_batch / best_bf16
+    # Round-5 fused-stem sweep (runs/probe_fused_sweep_r05.log): the fused
+    # stem removed the 4x-padded d2s transpose that OOMed bf16 at b56+, and
+    # bf16 now scales to b128 (292.7 b48 / 364.0 b80 / 403.7 b96 / 469.5
+    # b128; b160+ compiles failed server-side).  fp32 peaks at b24 (270.6).
+    # The fp32 b8 headline stays for round-over-round comparability.
+    # Each secondary is fault-isolated: a failed big-batch compile must not
+    # take down the headline measurement.
+    def _try_best(model_, batch_, dtype_name):
+        try:
+            xb = jnp.concatenate([left] * (batch_ // batch))
+            best_ = _time_chained(model_, variables, xb, iters=iters)
+            return round(iters * batch_ / best_, 3)
+        except Exception as e:  # pragma: no cover - relay-dependent
+            import sys
 
+            print(f"{dtype_name} b{batch_} secondary failed: {e}",
+                  file=sys.stderr)
+            return None
+
+    bf16_batch = 128
+    bf16_value = _try_best(
+        create_model("B", 49, dtype=jnp.bfloat16), bf16_batch, "bf16"
+    )
     fp32_batch = 24
-    left_fp32b = jnp.concatenate([left] * (fp32_batch // batch))
-    best_fp32b = _time_chained(model, variables, left_fp32b, iters=iters)
-    fp32_value = iters * fp32_batch / best_fp32b
+    fp32_value = _try_best(model, fp32_batch, "fp32")
 
     print(
         json.dumps(
@@ -126,9 +137,9 @@ def main() -> None:
                 "unit": "imgs/sec",
                 "vs_baseline": round(value / TORCH_CPU_BASELINE_IMGS_PER_SEC, 2),
                 "batch1_latency_ms": round(latency_ms, 2),
-                "bf16_best_imgs_per_sec": round(bf16_value, 3),
+                "bf16_best_imgs_per_sec": bf16_value,
                 "bf16_best_batch": bf16_batch,
-                "fp32_best_imgs_per_sec": round(fp32_value, 3),
+                "fp32_best_imgs_per_sec": fp32_value,
                 "fp32_best_batch": fp32_batch,
                 "mfu_vs_bf16_peak": round(mfu, 4),
                 "fwd_tflops_per_img": round(flops / batch / 1e12, 3)
@@ -155,7 +166,9 @@ def _attempt_in_subprocess() -> None:
     import subprocess
     import sys
 
-    budget = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "1500"))
+    # 2100 s: the bf16 b128 secondary's cold compile alone can run several
+    # minutes through the relay; cached compiles finish in well under this.
+    budget = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT_S", "2100"))
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--once"],
