@@ -186,21 +186,35 @@ def check_variant(variant: str) -> bool:
     print(f"  fwd 384x1280 b8 {ms8:7.2f} ms  ({8000 / ms8:6.1f} imgs/s)")
 
     if variant == "A":
-        # quirk path (jnp MED, reference-exact maskR resample) on chip
+        # quirk path (jnp MED, reference-exact maskR resample) on chip.
+        # Compare against a jnp-MED NON-quirk model so the two programs are
+        # identical except for the maskR warp: comparing against the fused
+        # default instead mixes in the fused-vs-jnp softmax near-tie disp
+        # amplification at random init (see CLAUDE.md / DESIGN.md
+        # §Stem/logits fusion drift analysis), which is covered separately
+        # by check_med_numerics on shared logits.
         model_q = create_model("A", a_maskr_quirk=True)
+        model_j = create_model("A", med_impl="reference")
         out_q = jax.jit(
             lambda v, x: model_q.apply(v, x, 2.0, 300.0, ret_disp=True,
                                        ret_pan=True, ret_subocc=True)
         )(variables, left1)
+        out_j = jax.jit(
+            lambda v, x: model_j.apply(v, x, 2.0, 300.0, ret_disp=True,
+                                       ret_pan=True, ret_subocc=True)
+        )(variables, left1)
         mq = np.asarray(out_q.maskR)
+        mj = np.asarray(out_j.maskR)
+        disp_diff = np.abs(np.asarray(out_q.disp) - np.asarray(out_j.disp)).max()
+        mask_diff = np.abs(mq - mj).max()
         q_ok = (
             np.isfinite(mq).all()
-            and np.abs(mq - fields["maskR"]).max() > 1e-4  # quirk really differs
-            and np.abs(np.asarray(out_q.disp) - fields["disp"]).max() < 2e-3
+            and mask_diff > 1e-4  # quirk really differs
+            and disp_diff < 2e-3  # ...and ONLY on maskR
         )
         ok &= bool(q_ok)
         print(f"  {'OK ' if q_ok else 'FAIL'} a_maskr_quirk: maskR differs "
-              f"(max {np.abs(mq - fields['maskR']).max():.3f}), disp unchanged")
+              f"(max {mask_diff:.3f}), disp diff {disp_diff:.2e}")
     return ok
 
 

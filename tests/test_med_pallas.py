@@ -75,18 +75,28 @@ def test_fused_disp_only(rng):
     assert got.pan is None and got.maskL is None
 
 
-def test_fused_gradients_match_reference(rng):
-    logits, image = _data(rng, h=8, w=128, n=7)
+@pytest.mark.parametrize(
+    "n,min_disp,max_disp",
+    [
+        (7, 2.0, 60.0),
+        # the A/C variants' native plane count at their training bounds —
+        # the round-5 on-chip regression shape (see probe_med_shapes.py)
+        (33, 2.0, 18.0),
+        (49, 2.0, 300.0),  # production plane count
+    ],
+)
+def test_fused_gradients_match_reference(rng, n, min_disp, max_disp):
+    logits, image = _data(rng, h=8, w=128, n=n)
 
     def loss_ref(lg, im):
-        o = med_outputs(lg, im, 2.0, 60.0, ret_disp=True, ret_pan=True)
-        return jnp.sum(jnp.sin(o.pan)) + jnp.sum(jnp.cos(o.disp / 60.0))
+        o = med_outputs(lg, im, min_disp, max_disp, ret_disp=True, ret_pan=True)
+        return jnp.sum(jnp.sin(o.pan)) + jnp.sum(jnp.cos(o.disp / max_disp))
 
     def loss_fused(lg, im):
         o = med_outputs_fused(
-            lg, im, 2.0, 60.0, ret_disp=True, ret_pan=True, interpret=True
+            lg, im, min_disp, max_disp, ret_disp=True, ret_pan=True, interpret=True
         )
-        return jnp.sum(jnp.sin(o.pan)) + jnp.sum(jnp.cos(o.disp / 60.0))
+        return jnp.sum(jnp.sin(o.pan)) + jnp.sum(jnp.cos(o.disp / max_disp))
 
     gl_ref, gi_ref = jax.grad(loss_ref, argnums=(0, 1))(logits, image)
     gl_f, gi_f = jax.grad(loss_fused, argnums=(0, 1))(logits, image)
