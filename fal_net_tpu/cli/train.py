@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dtype", default="float32", choices=("float32", "bfloat16"))
     p.add_argument(
+        "--no_med_selfcheck",
+        action="store_true",
+        help="skip the setup-time fused-MED-kernel-vs-jnp-oracle gate at "
+        "this run's exact shape (on by default; a disagreement falls back "
+        "to the jnp MED path with a warning — ops/med_selfcheck.py)",
+    )
+    p.add_argument(
         "--grad_accum",
         type=int,
         default=1,
@@ -116,6 +123,7 @@ def main(argv=None) -> None:
         compute_dtype=args.dtype,
         grad_accum=args.grad_accum,
         remat=args.remat,
+        med_selfcheck=not args.no_med_selfcheck,
     )
     if args.stage == 2:
         cfg.fix_model = args.fix_model  # type: ignore[attr-defined]

@@ -43,6 +43,25 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pad_row_len(x: int) -> int:
+    """Padded scratch row length: the next POWER-OF-TWO multiple of LANE.
+
+    Plain 128-alignment is not enough: the backend's Mosaic lowers the
+    dynamic-amount ``pltpu.roll`` incorrectly when the lane dimension is a
+    non-power-of-two multiple of 128 — rotated data lands in the wrong
+    lane tile, so every shifted read returns the zero margin (or worse,
+    misplaced rows).  Measured on-chip: 3x/5x/6x128 rows are wrong for
+    every nonzero shift, 4x/8x/16x128 are exact
+    (scripts/probe_roll_bug.py, runs/probe_roll_bug_r05.log; this broke
+    FAL_netA/C synthetic training at w=128 — all-zero pan).  The extra
+    zeros land in the right margin, which the window reads never touch;
+    the cost is VMEM only (the production 384x1280 shape is 2048 = 16x128
+    either way, so its program is unchanged).
+    """
+    tiles = -(-x // LANE)
+    return LANE * (1 << max(0, (tiles - 1).bit_length()))
+
+
 def _plane_tables(min_disp: float, max_disp: float, num_levels: int, width: int):
     """Host-side per-plane tables: disparity level, forward shift floor/frac,
     backward (negative) shift floor/frac."""
@@ -405,9 +424,9 @@ def _med_fused_fwd_call(
     c = image.shape[1]
     assert h % TILE_H == 0, f"H={h} not a multiple of {TILE_H}"
     lev, f_fw, t_fw, f_bw, t_bw, pad = _plane_tables(min_disp, max_disp, n, w)
-    # dynamic lane rotates require a 128-aligned width: round the padded
-    # row length itself up (extra zeros land in the right margin)
-    wp = _round_up(w + 2 * pad, LANE)
+    # dynamic lane rotates require a 128-aligned, power-of-two-tile row
+    # length (see _pad_row_len; extra zeros land in the right margin)
+    wp = _pad_row_len(w + 2 * pad)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -461,7 +480,7 @@ def _med_fused_bwd_call(
     b, n, h, w = logits.shape
     c = image.shape[1]
     lev, f_fw, t_fw, _f_bw, _t_bw, pad = _plane_tables(min_disp, max_disp, n, w)
-    wp = _round_up(w + 2 * pad, LANE)  # see fwd: aligned dynamic rotates
+    wp = _pad_row_len(w + 2 * pad)  # see fwd: pow2-tile dynamic rotates
 
     kernel = functools.partial(
         _bwd_kernel,

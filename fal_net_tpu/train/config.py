@@ -70,6 +70,14 @@ class TrainConfig:
     #   snapshot every N steps, bounding the worst-case rollback to N
     #   steps of lost updates (a device_get; ~0.1 s per refresh over PCIe
     #   for FAL_netB+Adam).  0 = only epoch-start/save-time snapshots.
+    med_selfcheck: bool = True  # before the first step, compare the
+    #   compiled fused MED kernel against the jnp oracle at this run's
+    #   exact (crop, levels, bounds) and fall back to med_impl='reference'
+    #   with a warning on disagreement.  Mosaic compiles a fresh binary
+    #   per shape; an untested combination can miscompile silently (seen
+    #   on-chip at w=128/N=33: all-zero pan -> training on a black
+    #   synthesized view).  Costs one tiny head compile at setup; 0 risk
+    #   of a silently-wrong run (ops/med_selfcheck.py).
     vgg_weights: Optional[str] = None  # torchvision vgg19 state_dict path
     allow_random_vgg: bool = False  # explicit opt-in: train the a_p>0
     #   perceptual term against RANDOM-init VGG features (the reference

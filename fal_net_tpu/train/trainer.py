@@ -18,6 +18,7 @@ from __future__ import annotations
 import functools
 import os
 import time
+import warnings
 from typing import Any, Dict, Optional
 
 import jax
@@ -141,6 +142,48 @@ class Trainer:
                 med_spatial_axis=self.med_spatial_axis,
             )
             self.teacher_params = t_vars
+
+        # Fused-MED runtime gate: Mosaic compiles a fresh kernel binary per
+        # (W, N, bounds) combination and an untested combination can
+        # miscompile silently (observed on-chip at w=128/N=33: all-zero pan,
+        # i.e. training against a black synthesized view with no error
+        # raised anywhere).  One tiny shared-logits comparison against the
+        # jnp oracle at this run's exact shape catches that class before the
+        # first step; on disagreement we train through the jnp path instead
+        # (correct, ~1.4x slower step) and say so loudly.  Vacuous off-TPU.
+        self.med_selfcheck_result = (True, 0.0)
+        if cfg.med_selfcheck and self.model.med_impl == "auto":
+            from fal_net_tpu.ops.med_selfcheck import fused_med_selfcheck
+
+            n_checks = {self.model.num_levels}
+            if self.teacher_model is not None:
+                n_checks.add(self.teacher_model.num_levels)
+            ok, worst = True, 0.0
+            for n in sorted(n_checks):
+                o, d = fused_med_selfcheck(
+                    cfg.crop_size[1], n, cfg.min_disp, cfg.max_disp,
+                    height=cfg.crop_size[0],
+                )
+                ok &= o
+                worst = max(worst, d)
+            self.med_selfcheck_result = (ok, worst)
+            if not ok:
+                warnings.warn(
+                    "fused MED kernel disagrees with the jnp oracle at this "
+                    f"run's shape (crop {cfg.crop_size}, levels "
+                    f"{sorted(n_checks)}, bounds [{cfg.min_disp}, "
+                    f"{cfg.max_disp}]): maxdiff {worst:.3g}.  Falling back "
+                    "to med_impl='reference' for this run (correct, ~1.4x "
+                    "slower step).  This indicates a Mosaic miscompile at "
+                    "an untested shape — see ops/med_selfcheck.py and "
+                    "scripts/probe_med_shapes.py.",
+                    RuntimeWarning,
+                )
+                self.model = self.model.clone(med_impl="reference")
+                if self.teacher_model is not None:
+                    self.teacher_model = self.teacher_model.clone(
+                        med_impl="reference"
+                    )
 
         # Data.
         if self._external_train is not None:

@@ -67,6 +67,30 @@ def test_fused_forward_unaligned_width(rng):
         )
 
 
+def test_pad_row_len_is_pow2_tiles():
+    """The padded scratch row length must be a power-of-two multiple of
+    128 lanes: the backend's Mosaic miscompiles dynamic pltpu.roll on
+    3x/5x/6x128-lane rows (scripts/probe_roll_bug.py, round 5) — this
+    pins the workaround so a refactor can't quietly reintroduce plain
+    128-alignment."""
+    from fal_net_tpu.ops.med_pallas import _pad_row_len, _plane_tables
+
+    for x in (129, 384, 640, 896, 1408, 2048, 2049):
+        wp = _pad_row_len(x)
+        assert wp >= x and wp % 128 == 0
+        tiles = wp // 128
+        assert tiles & (tiles - 1) == 0, (x, wp)
+    # the shapes that broke / mattered on-chip
+    for w, mind, maxd in ((128, 2.0, 18.0), (640, 2.0, 300.0), (1280, 2.0, 300.0)):
+        *_, pad = _plane_tables(mind, maxd, 33, w)
+        wp = _pad_row_len(w + 2 * pad)
+        tiles = wp // 128
+        assert tiles & (tiles - 1) == 0, (w, wp)
+    # the production 384x1280 program is unchanged (16x128 either way)
+    *_, pad = _plane_tables(2.0, 300.0, 49, 1280)
+    assert _pad_row_len(1280 + 2 * pad) == 2048
+
+
 def test_fused_disp_only(rng):
     logits, image = _data(rng, b=2)
     want = med_outputs(logits, image, 2.0, 300.0, ret_disp=True)
