@@ -33,6 +33,8 @@ if [ "$MODE" = "full" ]; then
     timeout 3600 python scripts/probe_stem_fuse.py || echo "probe_stem_fuse FAILED (non-fatal)"
     step "Mosaic kernel numerics (verify_tpu)"
     timeout 1800 python scripts/verify_tpu.py || exit 1
+    step "fused-MED shape sweep incl. fresh odd-tile widths (probe_med_shapes)"
+    timeout 5400 python scripts/probe_med_shapes.py || exit 1
     step "FAL_netA / FAL_netC on-chip, incl. training legs (verify_variants_tpu)"
     timeout 3600 python scripts/verify_variants_tpu.py || exit 1
     step "perceptual (a_p>0) step timing (probe_perceptual_step)"
