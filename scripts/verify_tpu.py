@@ -72,6 +72,38 @@ def main() -> int:
     print(f"  {'OK ' if gd < 5e-3 else 'FAIL'} grad   maxdiff {gd:.2e} (tol 5e-3)")
     ok &= gd < 5e-3
 
+    # shard_map + compiled-Mosaic integration on REAL hardware.  The
+    # multi-device dryrun can only run this composition in interpret mode
+    # (no Mosaic on the CPU mesh — DESIGN.md "known validation boundary");
+    # a 1-device ('data','spatial') mesh on the chip proves the
+    # shard_map-wrapped pallas_call (and its custom VJP) compiles and
+    # executes through the real Mosaic pipeline.  1 shard ≡ unsharded, so
+    # outputs must match the direct fused call to fp32 roundoff.
+    from jax.sharding import Mesh
+    from fal_net_tpu.ops.med_pallas import med_outputs_fused_dp
+
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("data", "spatial"))
+    shd = jax.jit(
+        lambda lg, im: med_outputs_fused_dp(
+            lg, im, 2.0, 300.0, mesh=mesh, spatial_axis="spatial", **kw
+        )
+    )(logits, image)
+    for name in ("disp", "pan", "maskL", "maskR"):
+        d = float(
+            np.abs(np.asarray(getattr(shd, name)) - np.asarray(getattr(fus, name))).max()
+        )
+        status = "OK " if d < 1e-5 else "FAIL"
+        ok &= d < 1e-5
+        print(f"  {status} shard_map {name:6s} maxdiff vs fused {d:.2e} (tol 1e-5)")
+
+    def med_sharded(lg, im, mn, mx, **k):
+        return med_outputs_fused_dp(lg, im, mn, mx, mesh=mesh, **k)
+
+    g_shd = jax.jit(jax.grad(lambda lg: loss(med_sharded, lg)))(lg_s)
+    gsd = float(np.abs(np.asarray(g_shd) - np.asarray(g_fus)).max())
+    print(f"  {'OK ' if gsd < 1e-5 else 'FAIL'} shard_map grad maxdiff vs fused {gsd:.2e} (tol 1e-5)")
+    ok &= gsd < 1e-5
+
     ms_ref = chained_ms(lambda lg, im: med_outputs(lg, im, 2.0, 300.0, **kw), logits, image)
     ms_fus = chained_ms(lambda lg, im: med_outputs_fused(lg, im, 2.0, 300.0, **kw), logits, image)
     print(f"  jnp path   {ms_ref:6.2f} ms")
