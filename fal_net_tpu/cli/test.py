@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
         "host->device bytes and equal to 1 ulp)",
     )
     p.add_argument(
+        "--no_med_selfcheck", action="store_true",
+        help="skip the per-shape fused-MED-kernel-vs-jnp-oracle gate on "
+        "the --save_pan path (on by default; a disagreement falls back to "
+        "the jnp MED path with a warning — ops/med_selfcheck.py)",
+    )
+    p.add_argument(
         "--num_devices", type=int, default=None,
         help="shard each evaluation batch over this many chips (params "
         "replicated; batch_size must be divisible by it)",
@@ -182,6 +188,7 @@ def main(argv=None) -> None:
         save_input=args.save_input,
         save_point_cloud=args.save_pc,
         save_path=args.save_path,
+        med_selfcheck=not args.no_med_selfcheck,
     )
     if artifact_fwd is not None:
         evaluator = Evaluator.from_artifact(artifact_fwd, cfg)

@@ -93,6 +93,13 @@ class EvalConfig:
     #   dataset.get(i) ahead of the device (window = 2 batches, results
     #   consumed strictly in order so metrics/exports are identical to the
     #   serial loop).  0 = decode inline on the main thread.
+    med_selfcheck: bool = True  # gate the fused MED kernel against the
+    #   jnp oracle once per bucket shape before the first pan/masks
+    #   dispatch (only the save_pan path requests pan/masks; plain
+    #   disparity eval never selects the fused kernel).  Mosaic compiles a
+    #   fresh binary per shape and an untested combination can miscompile
+    #   silently (ops/med_selfcheck.py); on disagreement the Evaluator
+    #   falls back to the jnp MED path with a warning.
     relay_retries: int = 2  # transient-dispatch fault tolerance: when the
     #   async forward surfaces a retryable runtime error at fetch time
     #   (utils/faults.py), re-dispatch the batch from its still-resident
@@ -209,6 +216,52 @@ class Evaluator:
             return normalize_device(left)
         return left
 
+    def _med_guard(self, height: int, width: int) -> None:
+        """Gate the fused MED kernel at this bucket's shape before its
+        first pan/masks dispatch.  Plain disparity eval never selects the
+        fused kernel (models/falnet.py: fused only when pan/masks are
+        requested) and artifacts bake the portable jnp path at export
+        (serve.py), so only the live-model ``save_pan`` path is exposed —
+        and each new image shape compiles a fresh Mosaic binary, the
+        silent-miscompile class the training gate exists for
+        (ops/med_selfcheck.py).  One oracle comparison per new shape; on
+        disagreement the Evaluator flips to the jnp MED path for all
+        subsequent traces and warns (already-validated shapes keep their
+        compiled executables)."""
+        if not getattr(self.cfg, "med_selfcheck", True):
+            return
+        if self.model is None or self.model.med_impl != "auto":
+            return
+        if getattr(self.model, "a_maskr_quirk", False):
+            return  # the quirk path never selects the fused kernel
+        cache = self.__dict__.setdefault("_med_ok", {})
+        key = (int(height), int(width))
+        if key in cache:
+            return
+        from fal_net_tpu.ops.med_selfcheck import fused_med_selfcheck
+
+        cfg = self.cfg
+        ok, worst = fused_med_selfcheck(
+            width,
+            self.model.num_levels,
+            cfg.min_disp * cfg.rel_baseline,
+            cfg.max_disp * cfg.rel_baseline,
+            height=height,
+            interpret=getattr(self.model, "med_interpret", False),
+        )
+        cache[key] = ok
+        if not ok:
+            import warnings
+
+            warnings.warn(
+                "fused MED kernel disagrees with the jnp oracle at the "
+                f"eval shape {height}x{width} (maxdiff {worst:.3g}); "
+                "evaluating through the jnp MED path instead (correct, "
+                "slower) — see ops/med_selfcheck.py.",
+                RuntimeWarning,
+            )
+            self.model = self.model.clone(med_impl="reference")
+
     def _forward(self, variables, left, *, pan: bool, subocc: bool):
         if self._artifact is not None:
             return self._artifact_forward(left, pan, subocc)
@@ -295,6 +348,8 @@ class Evaluator:
             retries=retries,
             describe="eval upload",
         )
+        if want_artifacts:
+            self._med_guard(batch_np.shape[1], batch_np.shape[2])
         out, disp = retry_transient(
             self._jit_eval_step,
             self.variables,

@@ -21,10 +21,21 @@ oracle on one random batch at the EXACT shape a run will use, sharing the
 logits tensor between both paths so any disagreement is pure kernel
 arithmetic (feeding each path its own full-model forward instead would
 mix in softmax near-tie amplification of MXU single-pass-bf16 conv noise
-— see DESIGN.md §Stem/logits fusion).  The Trainer runs it once at setup
-and falls back to ``med_impl='reference'`` with a loud warning if the
-kernel disagrees; a failed check costs the fused head's ~1.4x training
-speedup instead of a silently wrong run.
+— see DESIGN.md §Stem/logits fusion).  Three gates use it, covering every
+entry point that can select the fused kernel at a fresh shape:
+
+* ``Trainer.setup`` — the training crop (student + teacher level counts);
+  falls back to ``med_impl='reference'`` with a loud warning.
+* ``Trainer._val_forward_for`` — each validation bucket shape (validation
+  frames are full-size, not the training crop); that run validates
+  through the jnp path on disagreement.
+* ``Evaluator._med_guard`` — each eval bucket shape on the ``save_pan``
+  path (the only eval path that requests pan/masks; plain disparity eval
+  never selects the fused kernel, and serving artifacts bake the portable
+  jnp path at export).
+
+A failed check costs the fused head's speedup instead of a silently
+wrong run.
 """
 
 from __future__ import annotations

@@ -92,6 +92,10 @@ class Trainer:
         self._external_val = val_dataset
         self.logger: Optional[MetricsLogger] = None
         self._setup_done = False
+        # Per-validation-shape fused-MED gate results (see _val_forward_for:
+        # validation frames compile fresh Mosaic binaries at shapes the
+        # setup-time gate never saw).
+        self._val_med_ok: Dict[tuple, bool] = {}
 
     # ------------------------------------------------------------------
     def setup(self) -> None:
@@ -575,6 +579,62 @@ class Trainer:
 
         return jax.jit(fwd)
 
+    @functools.cached_property
+    def _val_forward_ref(self):
+        """Validation forward through the jnp MED path — the fallback when
+        the fused kernel fails its gate at a validation shape."""
+        model = self.model.clone(med_impl="reference")
+
+        def fwd(params, left):
+            rb = self.cfg.rel_baseline_val
+            return model.apply(
+                params,
+                left,
+                self.cfg.min_disp * rb,
+                self.cfg.max_disp * rb,
+                ret_disp=True,
+                ret_pan=True,
+                ret_subocc=True,
+            )
+
+        return jax.jit(fwd)
+
+    def _val_forward_for(self, height: int, width: int):
+        """Pick the validation forward for this bucket shape, gating the
+        fused MED kernel first.  The setup-time gate covers the TRAINING
+        crop only; validation runs at the val dataset's own shapes, each
+        of which compiles a fresh Mosaic binary (same silent-miscompile
+        risk class — ops/med_selfcheck.py).  One oracle comparison per new
+        shape, cached per Trainer; on disagreement this validation run
+        uses the jnp MED path (correct, slower) and warns once."""
+        cfg = self.cfg
+        if not (cfg.med_selfcheck and self.model.med_impl == "auto"):
+            return self._val_forward
+        key = (int(height), int(width))
+        ok = self._val_med_ok.get(key)
+        if ok is None:
+            from fal_net_tpu.ops.med_selfcheck import fused_med_selfcheck
+
+            rb = cfg.rel_baseline_val
+            ok, worst = fused_med_selfcheck(
+                width,
+                self.model.num_levels,
+                cfg.min_disp * rb,
+                cfg.max_disp * rb,
+                height=height,
+                interpret=getattr(self.model, "med_interpret", False),
+            )
+            self._val_med_ok[key] = ok
+            if not ok:
+                warnings.warn(
+                    "fused MED kernel disagrees with the jnp oracle at the "
+                    f"validation shape {height}x{width} (maxdiff "
+                    f"{worst:.3g}); validating through the jnp MED path "
+                    "instead (correct, slower) — see ops/med_selfcheck.py.",
+                    RuntimeWarning,
+                )
+        return self._val_forward if ok else self._val_forward_ref
+
     def validate(self, dataset, epoch: int = 0, log_images: int = 3) -> Dict[str, float]:
         """KITTI-2015 validation (Train_Stage1_K.py:279-347): synthesis RMSE,
         sparse EPE, depth metrics; first ``log_images`` samples' disp/mask/pan
@@ -604,11 +664,13 @@ class Trainer:
             pad = bs - len(items)
             if pad:
                 lefts = np.concatenate([lefts, np.zeros_like(lefts[:1]).repeat(pad, 0)])
+            val_fwd = self._val_forward_for(lefts.shape[1], lefts.shape[2])
+
             def _fwd_and_fetch():
                 # forward + device->host fetch as one retryable unit:
                 # nothing is donated here, so a transient dispatch failure
                 # just re-runs the batch (utils/faults.py)
-                out = self._val_forward(self.state.params, jnp.asarray(lefts))
+                out = val_fwd(self.state.params, jnp.asarray(lefts))
                 return (
                     np.asarray(out.pan),
                     np.asarray(out.disp),

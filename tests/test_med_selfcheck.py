@@ -103,6 +103,120 @@ def test_trainer_gate_passes_and_keeps_auto(monkeypatch):
     assert kw["height"] == cfg.crop_size[0]
 
 
+class _ValDS:
+    """Validation frames at a DIFFERENT shape (32x1242, a KITTI-table
+    width) than the training crop (32x64) — each validation bucket
+    compiles its own kernel binary, so it gets its own gate."""
+
+    def __len__(self):
+        return 2
+
+    def get(self, i, rng_=None):
+        r = np.random.default_rng(100 + i)
+        disp = (r.random((32, 1242, 1)) * 10).astype(np.float32)
+        disp[disp < 3] = 0
+        return {
+            "left": r.random((32, 1242, 3)).astype(np.float32) - 0.4,
+            "right": r.random((32, 1242, 3)).astype(np.float32) - 0.4,
+            "targets": [disp],
+        }
+
+
+def test_validate_gates_each_shape_and_falls_back(monkeypatch):
+    """A kernel that passes at the training crop but fails at the
+    validation shape: setup keeps med_impl='auto', validate warns once,
+    runs through the jnp path, and caches the verdict per shape."""
+    calls = []
+
+    def fake(width, n, mn, mx, **kw):
+        calls.append((width, kw.get("height")))
+        return width == 64, 0.9  # crop w=64 OK, val w=1242 broken
+
+    monkeypatch.setattr(
+        "fal_net_tpu.ops.med_selfcheck.fused_med_selfcheck", fake
+    )
+    cfg = Stage1Config(**_tiny_cfg())
+    tr = Trainer(cfg, stage="stage1", mesh=make_mesh(1),
+                 train_dataset=SyntheticStereo())
+    tr.setup()
+    assert tr.model.med_impl == "auto"
+
+    with pytest.warns(RuntimeWarning, match="validation shape 32x1242"):
+        m = tr.validate(_ValDS())
+    assert np.isfinite(m["rmse"])
+    assert tr._val_med_ok == {(32, 1242): False}
+    # the TRAINING model is untouched — only validation fell back
+    assert tr.model.med_impl == "auto"
+    assert (1242, 32) in [(w, h) for w, h in calls]
+
+    # second validate: verdict cached, no re-check, no second warning
+    n_calls = len(calls)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        m2 = tr.validate(_ValDS())
+    assert len(calls) == n_calls
+    np.testing.assert_allclose(m2["rmse"], m["rmse"], rtol=1e-6)
+
+
+def test_validate_gate_respects_config_flag(monkeypatch):
+    def boom(*a, **kw):
+        raise AssertionError("gate ran despite med_selfcheck=False")
+
+    monkeypatch.setattr(
+        "fal_net_tpu.ops.med_selfcheck.fused_med_selfcheck", boom
+    )
+    cfg = Stage1Config(**_tiny_cfg(med_selfcheck=False))
+    tr = Trainer(cfg, stage="stage1", mesh=make_mesh(1),
+                 train_dataset=SyntheticStereo())
+    tr.setup()
+    assert np.isfinite(tr.validate(_ValDS())["rmse"])
+
+
+def test_evaluator_save_pan_gate_falls_back(monkeypatch, tmp_path):
+    """The Evaluator's save_pan path (the only eval path selecting the
+    fused kernel) flips to the jnp MED path on a failed gate and still
+    exports correct artifacts."""
+    import os
+
+    from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
+    from tests.test_evaluate import SyntheticEval, _make_model
+
+    monkeypatch.setattr(
+        "fal_net_tpu.ops.med_selfcheck.fused_med_selfcheck",
+        lambda *a, **kw: (False, 0.8),
+    )
+    model, variables = _make_model()
+    cfg = EvalConfig(
+        dataset="Kitti2015", ms_post_process=False,
+        save=True, save_pan=True, save_path=str(tmp_path), print_freq=1,
+    )
+    ev = Evaluator(model, variables, cfg)
+    with pytest.warns(RuntimeWarning, match="eval shape 64x1242"):
+        ev.run(SyntheticEval(n=1), evaluate=False)
+    assert ev.model.med_impl == "reference"
+    assert os.path.isfile(tmp_path / "pan" / "0000000000.png")
+
+
+def test_evaluator_gate_skipped_without_save_pan(monkeypatch, tmp_path):
+    """Plain disparity eval never selects the fused kernel — no gate."""
+    from fal_net_tpu.eval.evaluate import EvalConfig, Evaluator
+    from tests.test_evaluate import SyntheticEval, _make_model
+
+    def boom(*a, **kw):
+        raise AssertionError("gate ran on a disp-only eval")
+
+    monkeypatch.setattr(
+        "fal_net_tpu.ops.med_selfcheck.fused_med_selfcheck", boom
+    )
+    model, variables = _make_model()
+    cfg = EvalConfig(
+        dataset="Kitti2015", ms_post_process=False,
+        save_path=str(tmp_path), print_freq=1,
+    )
+    metrics = Evaluator(model, variables, cfg).run(SyntheticEval(n=1))
+    assert np.isfinite(metrics["abs_rel"])
+
+
 def test_trainer_gate_can_be_disabled(monkeypatch):
     def boom(*a, **kw):  # must never be called
         raise AssertionError("gate ran despite med_selfcheck=False")
