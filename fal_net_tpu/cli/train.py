@@ -33,6 +33,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--epoch_size", type=int, default=0)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument(
+        "--weight_decay", "--wd", dest="weight_decay", type=float, default=0.0,
+        help="L2-into-grad on non-bias params (torch-Adam per-group "
+        "weight_decay semantics; reference --weight-decay default 0.0)",
+    )
+    p.add_argument(
+        "--bias_decay", type=float, default=0.0,
+        help="L2-into-grad on bias params (reference --bias-decay, default 0.0)",
+    )
     p.add_argument("--max_disp", type=float, default=300.0)
     p.add_argument("--min_disp", type=float, default=2.0)
     p.add_argument("--a_p", type=float, default=None)
@@ -131,6 +140,8 @@ def main(argv=None) -> None:
             cfg.a_mr = args.a_mr  # type: ignore[attr-defined]
     if args.no_levels is not None:
         cfg.num_levels = args.no_levels
+    cfg.weight_decay = args.weight_decay
+    cfg.bias_decay = args.bias_decay
     for name in ("batch_size", "epochs", "lr", "a_p", "a_sm"):
         v = getattr(args, name)
         if v is not None:

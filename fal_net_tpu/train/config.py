@@ -26,6 +26,10 @@ class TrainConfig:
     beta2: float = 0.999
     milestones: Tuple[int, ...] = (30, 40)
     lr_gamma: float = 0.5
+    weight_decay: float = 0.0  # L2-into-grad on non-bias params — torch
+    #   Adam per-group weight_decay semantics, NOT decoupled AdamW
+    #   (Train_Stage1_K.py:57,177-178; reference default 0.0)
+    bias_decay: float = 0.0  # same, on bias params (:58,177)
     max_disp: float = 300.0
     min_disp: float = 2.0
     rel_baseline_val: float = 1.0  # validation-set baseline scale

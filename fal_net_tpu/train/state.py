@@ -42,6 +42,17 @@ def make_lr_schedule(
     return optax.piecewise_constant_schedule(lr, boundaries)
 
 
+def _decay_mask(params, want_bias: bool):
+    """Boolean pytree selecting bias leaves (flax leaf key 'bias') or
+    everything else — the reference's bias_parameters()/weight_parameters()
+    split (Train_Stage1_K.py:177-178 builds one Adam param group per
+    side, each with its own weight_decay)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: (getattr(path[-1], "key", None) == "bias") == want_bias,
+        params,
+    )
+
+
 def create_train_state(
     model,
     params,
@@ -53,6 +64,8 @@ def create_train_state(
     lr_gamma: float,
     steps_per_epoch: int,
     start_step: int = 0,
+    weight_decay: float = 0.0,
+    bias_decay: float = 0.0,
 ) -> TrainState:
     schedule = make_lr_schedule(lr, milestones, lr_gamma, steps_per_epoch)
     if start_step:
@@ -65,6 +78,22 @@ def create_train_state(
         base_schedule = schedule
         schedule = lambda count: base_schedule(count + start_step)
     tx = optax.adam(schedule, b1=beta1, b2=beta2)
+    if weight_decay or bias_decay:
+        # torch Adam's per-group weight_decay is L2-INTO-GRAD — grad +=
+        # wd * param BEFORE the moment update (torch.optim.Adam, NOT the
+        # decoupled AdamW form) — so the decay transforms must run before
+        # scale_by_adam.  Reference defaults are 0.0 for both
+        # (Train_Stage1_K.py:57-58); zero keeps the plain adam transform
+        # (and its checkpointed opt_state structure) bit-identical.
+        tx = optax.chain(
+            optax.add_decayed_weights(
+                weight_decay, mask=lambda p: _decay_mask(p, want_bias=False)
+            ),
+            optax.add_decayed_weights(
+                bias_decay, mask=lambda p: _decay_mask(p, want_bias=True)
+            ),
+            tx,
+        )
     import jax.numpy as jnp
 
     state = TrainState(

@@ -223,6 +223,8 @@ class Trainer:
             beta2=cfg.beta2,
             milestones=cfg.milestones,
             lr_gamma=cfg.lr_gamma,
+            weight_decay=cfg.weight_decay,
+            bias_decay=cfg.bias_decay,
             steps_per_epoch=steps_per_epoch,
             # Warm restart (--pretrained + --start_epoch) fast-forwards the
             # LR schedule; full-state --resume restores the optax update

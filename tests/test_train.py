@@ -262,3 +262,75 @@ def test_default_run_dir_matches_reference_layout(tmp_path):
     assert all(
         re.fullmatch(r"\d{2}-\d{2}-\d{2}_\d{2}(-\d+)?", s) for s in stamps
     ), stamps
+
+
+@pytest.mark.torch_parity
+def test_weight_decay_matches_torch_adam_param_groups():
+    """Nonzero --weight_decay/--bias_decay reproduce torch.optim.Adam's
+    per-param-group L2-into-grad semantics — the reference's
+    bias_parameters/weight_parameters split with per-group weight_decay
+    (Train_Stage1_K.py:57-58,177-180).  Three steps of identical grads
+    must land on identical parameters."""
+    import torch
+
+    from fal_net_tpu.train.state import create_train_state
+
+    r = np.random.default_rng(0)
+    k = r.standard_normal((4, 3)).astype(np.float32)
+    b = r.standard_normal((3,)).astype(np.float32)
+    gk = r.standard_normal((4, 3)).astype(np.float32)
+    gb = r.standard_normal((3,)).astype(np.float32)
+    params = {"params": {"conv": {"kernel": jnp.asarray(k), "bias": jnp.asarray(b)}}}
+    grads = {"params": {"conv": {"kernel": jnp.asarray(gk), "bias": jnp.asarray(gb)}}}
+
+    class _M:
+        apply = staticmethod(lambda *a, **kw: None)
+
+    state = create_train_state(
+        _M, params, lr=1e-3, beta1=0.5, beta2=0.999, milestones=(),
+        lr_gamma=0.5, steps_per_epoch=10,
+        weight_decay=0.02, bias_decay=0.005,
+    )
+    for _ in range(3):
+        state = state.apply_gradients(grads)
+
+    tk = torch.nn.Parameter(torch.tensor(k))
+    tb = torch.nn.Parameter(torch.tensor(b))
+    opt = torch.optim.Adam(
+        [{"params": [tk], "weight_decay": 0.02},
+         {"params": [tb], "weight_decay": 0.005}],
+        lr=1e-3, betas=(0.5, 0.999),
+    )
+    for _ in range(3):
+        opt.zero_grad()
+        tk.grad = torch.tensor(gk)
+        tb.grad = torch.tensor(gb)
+        opt.step()
+
+    got = state.params["params"]["conv"]
+    np.testing.assert_allclose(
+        np.asarray(got["kernel"]), tk.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["bias"]), tb.detach().numpy(), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_zero_decay_keeps_plain_adam_state():
+    """Default (0, 0) decay keeps the un-chained adam transform — the
+    checkpointed opt_state structure (and every existing checkpoint)
+    stays bit-identical."""
+    from fal_net_tpu.train.state import create_train_state
+
+    params = {"params": {"conv": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros((2,))}}}
+
+    class _M:
+        apply = staticmethod(lambda *a, **kw: None)
+
+    kw = dict(lr=1e-3, beta1=0.5, beta2=0.999, milestones=(), lr_gamma=0.5,
+              steps_per_epoch=10)
+    plain = create_train_state(_M, params, **kw)
+    zeroed = create_train_state(_M, params, weight_decay=0.0, bias_decay=0.0, **kw)
+    assert jax.tree_util.tree_structure(plain.opt_state) == jax.tree_util.tree_structure(
+        zeroed.opt_state
+    )
