@@ -42,6 +42,31 @@ def build_parser() -> argparse.ArgumentParser:
         "--bias_decay", type=float, default=0.0,
         help="L2-into-grad on bias params (reference --bias-decay, default 0.0)",
     )
+    p.add_argument(
+        "--momentum", "--beta1", dest="beta1", type=float, default=None,
+        help="Adam beta1 (the reference's --momentum, default 0.5)",
+    )
+    p.add_argument(
+        "--beta", "--beta2", dest="beta2", type=float, default=None,
+        help="Adam beta2 (the reference's --beta, default 0.999)",
+    )
+    p.add_argument(
+        "--milestones", type=int, nargs="*", default=None,
+        help="epochs at which LR halves (MultiStepLR; stage defaults "
+        "30 40 / 5 10)",
+    )
+    p.add_argument("--print_freq", "--print-freq", dest="print_freq",
+                   type=int, default=None)
+    p.add_argument(
+        "--tbatch_size", "--val_batch_size", dest="val_batch_size",
+        type=int, default=None,
+        help="validation batch size (metrics per-image, identical to 1)",
+    )
+    p.add_argument(
+        "--rel_baset", "--rel_baseline_val", dest="rel_baseline_val",
+        type=float, default=None,
+        help="validation-set baseline scale (Train_Stage1_K.py:36)",
+    )
     p.add_argument("--max_disp", type=float, default=300.0)
     p.add_argument("--min_disp", type=float, default=2.0)
     p.add_argument("--a_p", type=float, default=None)
@@ -142,7 +167,11 @@ def main(argv=None) -> None:
         cfg.num_levels = args.no_levels
     cfg.weight_decay = args.weight_decay
     cfg.bias_decay = args.bias_decay
-    for name in ("batch_size", "epochs", "lr", "a_p", "a_sm"):
+    if args.milestones is not None:
+        cfg.milestones = tuple(args.milestones)
+    for name in ("batch_size", "epochs", "lr", "a_p", "a_sm", "beta1",
+                 "beta2", "print_freq", "val_batch_size",
+                 "rel_baseline_val"):
         v = getattr(args, name)
         if v is not None:
             setattr(cfg, name, v)
