@@ -359,3 +359,34 @@ def test_selfcheck_cli_passes():
     with pytest.raises(SystemExit) as e:
         selfcheck.main([])
     assert e.value.code == 0
+
+
+def test_train_cli_optimizer_flags_reach_config(monkeypatch):
+    """Every reference optimizer/schedule flag maps through build_parser
+    into the TrainConfig the Trainer receives (MIGRATION.md training
+    table; reference flags at Train_Stage1_K.py:51-58)."""
+    captured = {}
+
+    class _StubTrainer:
+        def __init__(self, cfg, stage=None, mesh=None, **kw):
+            captured["cfg"] = cfg
+            captured["stage"] = stage
+
+        def fit(self, **kw):
+            return {"history": [], "best_metric": "train_loss", "best_value": 0.0}
+
+    monkeypatch.setattr(cli_train, "Trainer", _StubTrainer)
+    cli_train.main([
+        "--data_root", "/nonexistent", "--stage", "1",
+        "--momentum", "0.6", "--beta", "0.99",
+        "--milestones", "20", "30",
+        "--wd", "4e-4", "--bias_decay", "1e-4",
+        "--print-freq", "7", "--tbatch_size", "2", "--rel_baset", "1.2",
+    ])
+    cfg = captured["cfg"]
+    assert cfg.beta1 == 0.6 and cfg.beta2 == 0.99
+    assert cfg.milestones == (20, 30)
+    assert cfg.weight_decay == 4e-4 and cfg.bias_decay == 1e-4
+    assert cfg.print_freq == 7
+    assert cfg.val_batch_size == 2
+    assert cfg.rel_baseline_val == 1.2
