@@ -334,3 +334,30 @@ def test_zero_decay_keeps_plain_adam_state():
     assert jax.tree_util.tree_structure(plain.opt_state) == jax.tree_util.tree_structure(
         zeroed.opt_state
     )
+
+
+def test_decay_mask_splits_real_model_tree():
+    """_decay_mask on an actual FalNet variables tree: every 'bias' leaf
+    lands in the bias group, everything else (conv kernels, ConstPlane
+    params if any) in the weight group — the reference's
+    bias_parameters()/weight_parameters() split."""
+    from fal_net_tpu.models import create_model
+    from fal_net_tpu.train.state import _decay_mask
+
+    model = create_model("tiny", 5)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), 2.0, 30.0, ret_disp=True
+    )
+    wmask = _decay_mask(variables, want_bias=False)
+    bmask = _decay_mask(variables, want_bias=True)
+
+    flat_w = jax.tree_util.tree_flatten_with_path(wmask)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(bmask)[0]
+    assert flat_w and flat_b
+    n_bias = 0
+    for (path, w), (_, b) in zip(flat_w, flat_b):
+        is_bias = getattr(path[-1], "key", None) == "bias"
+        n_bias += is_bias
+        assert w == (not is_bias), path
+        assert b == is_bias, path
+    assert n_bias > 0  # the tiny model has real bias leaves
