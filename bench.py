@@ -73,21 +73,39 @@ def _time_chained(model, variables, left, iters=10, repeats=3) -> float:
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    # Test hook: FALNET_BENCH_PLATFORM=cpu lets the suite smoke-test the
+    # driver-facing JSON contract in a subprocess without a TPU (the
+    # sitecustomize ignores JAX_PLATFORMS, so the config update is the only
+    # way to force CPU).  Must run before the first backend touch.
+    plat = os.environ.get("FALNET_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     import jax.numpy as jnp
 
     from fal_net_tpu.models import create_model
 
-    model = create_model("B", 49)
-    h, w = 384, 1280
-    batch = 8  # sustained serving throughput
+    # Tiny-config hooks for the same smoke test; production defaults when
+    # unset (the driver runs bench.py with a clean env).
+    variant = os.environ.get("FALNET_BENCH_MODEL", "B")
+    levels = int(os.environ.get("FALNET_BENCH_LEVELS", "49"))
+    h, w = (int(s) for s in
+            os.environ.get("FALNET_BENCH_HW", "384x1280").split("x"))
+    batch = int(os.environ.get("FALNET_BENCH_BATCH", "8"))
+    iters = int(os.environ.get("FALNET_BENCH_ITERS", "10"))
+    secondaries = os.environ.get("FALNET_BENCH_SECONDARIES", "1") != "0"
+
+    model = create_model(variant, levels)
     rng = np.random.default_rng(0)
     left = jnp.asarray(
         rng.standard_normal((batch, h, w, 3)).astype(np.float32) * 0.3
     )
     variables = model.init(jax.random.PRNGKey(0), left, 2.0, 300.0, ret_disp=True)
 
-    iters = 10
     best = _time_chained(model, variables, left, iters=iters)
     value = iters * batch / best
 
@@ -120,11 +138,14 @@ def main() -> None:
             return None
 
     bf16_batch = 128
-    bf16_value = _try_best(
-        create_model("B", 49, dtype=jnp.bfloat16), bf16_batch, "bf16"
-    )
     fp32_batch = 24
-    fp32_value = _try_best(model, fp32_batch, "fp32")
+    bf16_value = fp32_value = None
+    if secondaries:
+        bf16_value = _try_best(
+            create_model(variant, levels, dtype=jnp.bfloat16),
+            bf16_batch, "bf16",
+        )
+        fp32_value = _try_best(model, fp32_batch, "fp32")
 
     print(
         json.dumps(
